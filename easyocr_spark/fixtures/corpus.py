@@ -1,0 +1,193 @@
+"""Interleaved-document corpus spec: the single source of truth.
+
+BASELINE.json input_hint mandates an input table
+``documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``
+but the driver's testdata ships a *flat* documents table
+``(doc_id bigint, text, lang, source, n_chars)``. This module derives the
+interleaved corpus deterministically from the flat table with arithmetic
+that is expressible in BOTH Spark SQL and DuckDB SQL, so the driver's
+DuckDB oracle can independently reconstruct every intermediate AND the
+final OCR output (ground-truth text is a pure function of media_ref).
+
+Edge classes required by FIXTURES.md §1 and how they're encoded
+(d = flat doc_id, i = span offset):
+
+- empty spans array .............. d % 13 == 0 (and not skew)
+- zero media spans ............... d % 37 == 5
+- all media spans ................ d % 37 == 3
+- skew docs (50-200 media) ....... d % 97 == 0 and d > 0
+- duplicate media_ref ............ (d+i) % 10 == 2 -> shared ref m_{d%50}_0
+- out-of-offset-order storage .... array rotated by d % k
+- ~30% media fraction ............ (d+i) % 10 < 3
+
+Media image classes (a, b parsed from media_ref = 'm_{a}_{b}'):
+
+- tiny (min_size filter -> '') ... (7a + b) % 23 == 0
+- low contrast (2-pass retry) .... (a + b) % 7 == 0
+- scale factor ................... 2 + 2*((a+b) % 2)
+- lines / words / vocab picks .... arithmetic below (SQL-portable)
+
+Convention: absent values are '' (empty string), not NULL — text spans
+carry media_ref='', media spans carry text='' pre-OCR. This keeps the
+driver's value-hash comparison engine-agnostic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .png import encode_gray
+from .render import render_text, render_tiny
+
+# 64 words, A-Z0-9 only, lengths 2-8 (fits the glyph atlas charset)
+VOCAB = [
+    "HELLO", "WORLD", "SPARK", "ARROW", "QUERY", "TABLE", "SHUFFLE", "JOIN",
+    "SCAN", "AGG", "OCR", "TEXT", "SPAN", "MEDIA", "DOC", "REF",
+    "OFFSET", "KIND", "BATCH", "VECTOR", "COLUMN", "ROW", "GROUP", "SORT",
+    "MERGE", "FILTER", "MAP", "REDUCE", "CRAFT", "CRNN", "CTC", "BEAM",
+    "GREEDY", "BLANK", "GLYPH", "PIXEL", "IMAGE", "LINE", "WORD", "CHAR",
+    "BOOK", "LLAMA", "COFFEE", "BETTER", "LETTER", "SUMMER", "WINTER", "X42",
+    "A1B2", "Z9", "QQ7", "JAZZ", "FIZZ", "BUZZ", "APPLE", "BANANA",
+    "CHERRY", "OTTER", "EAGLE", "FALCON", "TIGER", "ZEBRA", "MOOSE", "GOOSE",
+]
+assert len(VOCAB) == 64
+
+LANGS = ["latin", "chinese", "arabic"]
+
+
+# ---------------------------------------------------------------- media spec
+def parse_ref(media_ref: str) -> tuple[int, int]:
+    _, a, b = media_ref.split("_")
+    return int(a), int(b)
+
+
+def media_spec(media_ref: str) -> dict:
+    a, b = parse_ref(media_ref)
+    tiny = (7 * a + b) % 23 == 0
+    n_lines = (a + 2 * b) % 2 + 1
+    lines = [
+        [VOCAB[(a * 31 + b * 17 + line * 13 + j * 7) % 64]
+         for j in range((a + 3 * b + line) % 3 + 1)]
+        for line in range(n_lines)
+    ]
+    return {
+        "tiny": tiny,
+        "low_contrast": (a + b) % 7 == 0,
+        "scale": 2 + 2 * ((a + b) % 2),
+        "lines": lines,
+        "lang": LANGS[a % 3],
+    }
+
+
+def ground_truth_text(media_ref: str) -> str:
+    """Expected OCR output for a media_ref — reading order, words joined
+    by single spaces, lines top-to-bottom (the reference's output order
+    guarantee: easyocr/utils.py:482-483, :621-622)."""
+    spec = media_spec(media_ref)
+    if spec["tiny"]:
+        return ""
+    return " ".join(w for line in spec["lines"] for w in line)
+
+
+def render_media(media_ref: str) -> bytes:
+    spec = media_spec(media_ref)
+    if spec["tiny"]:
+        img = render_tiny()
+    else:
+        img = render_text(spec["lines"], spec["scale"], spec["low_contrast"])
+    return encode_gray(img)
+
+
+# ------------------------------------------------- span derivation (Spark SQL)
+# d = flat bigint doc_id; produces the interleaved nested table.
+SPARK_INTERLEAVED_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, text AS doc_text,
+         CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN 50 + doc_id % 151
+              ELSE doc_id % 13 END AS k
+  FROM {documents}
+)
+SELECT concat('doc_', d) AS doc_id,
+  transform(
+    filter(sequence(0, greatest(k, 1) - 1), j -> j < k),
+    j -> named_struct(
+      'kind',
+        CASE WHEN ((d % 37 = 3) OR (pmod(d + pmod(j + pmod(d, greatest(k,1)), greatest(k,1)), 10) < 3)
+                   OR (d % 97 = 0 AND d > 0)) AND d % 37 <> 5
+             THEN 'media' ELSE 'text' END,
+      'text',
+        CASE WHEN ((d % 37 = 3) OR (pmod(d + pmod(j + pmod(d, greatest(k,1)), greatest(k,1)), 10) < 3)
+                   OR (d % 97 = 0 AND d > 0)) AND d % 37 <> 5
+             THEN ''
+             ELSE substring(doc_text,
+                            1 + pmod(pmod(j + pmod(d, greatest(k,1)), greatest(k,1)) * 17, 40), 20) END,
+      'media_ref',
+        CASE WHEN ((d % 37 = 3) OR (pmod(d + pmod(j + pmod(d, greatest(k,1)), greatest(k,1)), 10) < 3)
+                   OR (d % 97 = 0 AND d > 0)) AND d % 37 <> 5
+             THEN CASE WHEN pmod(d + pmod(j + pmod(d, greatest(k,1)), greatest(k,1)), 10) = 2
+                       THEN concat('m_', d % 50, '_0')
+                       ELSE concat('m_', d, '_',
+                                   pmod(j + pmod(d, greatest(k,1)), greatest(k,1))) END
+             ELSE '' END,
+      'offset', CAST(pmod(j + pmod(d, greatest(k,1)), greatest(k,1)) AS INT)
+    )
+  ) AS spans
+FROM base
+"""
+
+# ------------------------------------------- flat span derivation (DuckDB SQL)
+# The oracle never materializes the rotated array — it derives the flat,
+# offset-ordered span rows directly (storage order is a Spark-side detail
+# that posexplode queries verify separately via the pos formula).
+DUCKDB_FLAT_SPANS_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, text AS doc_text,
+         CASE WHEN doc_id % 97 = 0 AND doc_id > 0 THEN 50 + doc_id % 151
+              ELSE doc_id % 13 END AS k
+  FROM documents
+),
+s AS (
+  SELECT d, doc_text, k, UNNEST(range(k)) AS i FROM base
+),
+flags AS (
+  SELECT d, doc_text, k, CAST(i AS INT) AS i,
+         ((d % 37 = 3) OR ((d + i) % 10 < 3) OR (d % 97 = 0 AND d > 0))
+           AND d % 37 <> 5 AS is_media
+  FROM s
+)
+SELECT concat('doc_', d) AS doc_id,
+       i AS "offset",
+       CASE WHEN is_media THEN 'media' ELSE 'text' END AS kind,
+       CASE WHEN is_media THEN ''
+            ELSE substring(doc_text, CAST(1 + (i*17) % 40 AS INT), 20) END AS text,
+       CASE WHEN is_media THEN
+              CASE WHEN (d + i) % 10 = 2 THEN concat('m_', d % 50, '_0')
+                   ELSE concat('m_', d, '_', i) END
+            ELSE '' END AS media_ref,
+       -- array storage position our Spark table uses (rotation by d % k)
+       CAST((i - (d % k) + k) % k AS INT) AS pos
+FROM flags
+"""
+
+
+def _vocab_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+
+
+def duckdb_gt_expr(a: str, b: str) -> str:
+    """DuckDB SQL expression computing ground_truth_text() for parsed
+    media_ref ints ``a``/``b`` (column/expression strings)."""
+    return f"""
+    CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN ''
+    ELSE array_to_string(flatten(
+      list_transform(range(0, ({a} + 2*({b})) % 2 + 1), L ->
+        list_transform(range(0, (({a}) + 3*({b}) + L) % 3 + 1), j ->
+          list_extract({_vocab_sql()},
+            CAST((({a})*31 + ({b})*17 + L*13 + j*7) % 64 + 1 AS INT))))), ' ')
+    END"""
+
+
+def duckdb_gt_from_ref(ref_col: str) -> str:
+    a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    return duckdb_gt_expr(a, b)

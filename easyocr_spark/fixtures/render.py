@@ -1,0 +1,73 @@
+"""Deterministic text-image renderer (PIL stand-in).
+
+Renders a multi-line, multi-word string into a uint8 grayscale bitmap
+using the procedural glyph atlas, at an integer scale factor, optionally
+low-contrast. Geometry is exact-by-construction:
+
+- every glyph has ink in its first/last row and column (fonts.py), so a
+  word's tight bounding box is exactly ``len*CELL_W - 1`` x ``GLYPH_H``
+  base pixels — integer rescaling round-trips losslessly, which is what
+  makes the stand-in recognizer bit-deterministic (SURVEY.md §5.2.3).
+- words on a line are separated by WORD_GAP base px (wider than the
+  detector's affinity bridge, narrower line-internal gaps merge), lines
+  by LINE_GAP so y-center clustering separates them — mirroring the
+  geometry assumptions of group_text_box (reference
+  easyocr/utils.py:450-555).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fonts import ATLAS, CELL_H, CELL_W, GLYPH_H, GLYPH_W
+
+MARGIN = 4  # base px border
+WORD_GAP = 8  # base px between words on a line (beyond the cell spacing col)
+LINE_GAP = 4  # base px between line boxes
+INK = 0
+BG = 255
+LOW_INK = 180  # low-contrast variant: exercises 2-pass contrast retry
+LOW_BG = 220
+
+
+def word_width(word: str) -> int:
+    """Tight ink width of a word in base px (last spacing col excluded)."""
+    return len(word) * CELL_W - 1
+
+
+def line_width(words: list[str]) -> int:
+    return sum(word_width(w) for w in words) + (len(words) - 1) * (WORD_GAP + 1)
+
+
+def render_text(
+    lines: list[list[str]], scale: int = 2, low_contrast: bool = False
+) -> np.ndarray:
+    """Render lines of words -> uint8[H, W] grayscale image."""
+    ink, bg = (LOW_INK, LOW_BG) if low_contrast else (INK, BG)
+    w = 2 * MARGIN + max(line_width(ws) for ws in lines)
+    h = 2 * MARGIN + len(lines) * GLYPH_H + (len(lines) - 1) * LINE_GAP
+    img = np.full((h, w), bg, dtype=np.uint8)
+    y = MARGIN
+    for words in lines:
+        x = MARGIN
+        for word in words:
+            for ch in word:
+                g = ATLAS[ch]
+                img[y : y + GLYPH_H, x : x + GLYPH_W][g == 1] = ink
+                x += CELL_W
+            # x is now one spacing col past the word's last glyph col
+            x += WORD_GAP
+        y += GLYPH_H + LINE_GAP
+    if scale != 1:
+        img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
+    return img
+
+
+def render_tiny() -> np.ndarray:
+    """A 16x14 image whose only ink is an 8x8 dot: big enough to pass
+    the detector's component-area filter (>= 10 half-res px), small
+    enough that the min_size box filter drops it (reference
+    easyocr/easyocr.py:343-347) -> empty OCR result."""
+    img = np.full((14, 16), BG, dtype=np.uint8)
+    img[4:12, 4:12] = INK  # even-aligned: half-res box quantizes exactly
+    return img

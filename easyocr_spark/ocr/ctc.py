@@ -1,0 +1,92 @@
+"""CTC decoding + confidence, mirroring the reference's semantics.
+
+- ``decode_greedy``: vectorized collapse-repeats-then-drop-blank, the
+  same algorithm as CTCLabelConverter.decode_greedy (reference
+  easyocr/utils.py:327-343: mask ``t[1:] != t[:-1]`` then remove
+  ignore/blank indices).
+- ``ctc_beam_search``: CTC prefix beam search over a single crop's
+  probability matrix (reference easyocr/utils.py:181-270). Per-crop
+  sequential by nature; parallelism lives across crops/partitions.
+- ``custom_mean``: prod(p)^(2/sqrt(n)) generalized mean (reference
+  easyocr/recognition.py:13-14) — NOT the arithmetic mean; the two-pass
+  contrast retry selects text by comparing these values, so the formula
+  must match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLANK = 0
+
+
+def custom_mean(x: np.ndarray) -> float:
+    if len(x) == 0:
+        return 0.0
+    return float(np.prod(x) ** (2.0 / np.sqrt(len(x))))
+
+
+def greedy_collapse(probs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """probs float[T, C] -> (nonblank labels, their step max-probs) after
+    collapse-repeats + drop-blank (the decode_greedy core)."""
+    if probs.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    idx = probs.argmax(axis=1)
+    maxp = probs[np.arange(len(idx)), idx]
+    # collapse repeats: keep positions where label differs from previous
+    keep = np.ones(len(idx), dtype=bool)
+    keep[1:] = idx[1:] != idx[:-1]
+    labels = idx[keep]
+    confs = maxp[keep]
+    nonblank = labels != BLANK
+    return labels[nonblank], confs[nonblank]
+
+
+def decode_greedy(probs: np.ndarray, charset: str) -> tuple[str, float]:
+    """probs: float[T, C] with column 0 = blank. Returns (text, conf)."""
+    labels, confs = greedy_collapse(probs)
+    text = "".join(charset[i - 1] for i in labels)
+    return text, custom_mean(confs)
+
+
+def ctc_beam_search(
+    probs: np.ndarray, charset: str, beam_width: int = 5
+) -> tuple[str, float]:
+    """CTC prefix beam search (log-free, probabilities like the
+    reference). State per beam: (labeling tuple) -> (p_blank, p_nonblank).
+    """
+    if probs.size == 0:
+        return "", 0.0
+    beams: dict[tuple, tuple[float, float]] = {(): (1.0, 0.0)}
+    T, C = probs.shape
+    for t in range(T):
+        new: dict[tuple, tuple[float, float]] = {}
+
+        def add(lab, pb, pnb):
+            opb, opnb = new.get(lab, (0.0, 0.0))
+            new[lab] = (opb + pb, opnb + pnb)
+
+        for lab, (pb, pnb) in beams.items():
+            ptot = pb + pnb
+            # blank extends either state
+            add(lab, ptot * probs[t, BLANK], 0.0)
+            # repeat last char only from blank-ended paths; same char
+            # following non-blank collapses into the same labeling
+            if lab:
+                add(lab, 0.0, pnb * probs[t, lab[-1]])
+            for c in range(1, C):
+                p = probs[t, c]
+                if p <= 0.0:
+                    continue
+                if lab and lab[-1] == c:
+                    add(lab + (c,), 0.0, pb * p)
+                else:
+                    add(lab + (c,), 0.0, ptot * p)
+        beams = dict(
+            sorted(new.items(), key=lambda kv: kv[1][0] + kv[1][1], reverse=True)[
+                :beam_width
+            ]
+        )
+    best, (pb, pnb) = max(beams.items(), key=lambda kv: kv[1][0] + kv[1][1])
+    text = "".join(charset[i - 1] for i in best)
+    return text, float(pb + pnb)

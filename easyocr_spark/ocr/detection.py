@@ -1,0 +1,210 @@
+"""CRAFT-style detection stage (deterministic numpy stand-in).
+
+Semantics mirrored from the reference:
+
+- score maps at HALF input resolution, one "region" (text) and one
+  "link" (affinity) channel — the CRAFT contract (reference
+  easyocr/detection.py:51-52, easyocr/craft.py:58-80). Here the forward
+  pass is replaced by ink-density pooling + horizontal affinity dilation
+  (deterministic; no torch in the sandbox).
+- thresholding + clipping + connected components + area/score filters +
+  box estimation: the getDetBoxes_core recipe (reference
+  easyocr/craft_utils.py:20-85): combined = clip(text_score + link_score,
+  0, 1); components with pixel area < 10 dropped; components whose max
+  region score < text_threshold dropped; box coords scaled back to input
+  pixels by the ratio x 2 rule (reference easyocr/craft_utils.py:245-251).
+- ``resize_aspect_ratio`` semantics: cap longest side at
+  canvas_size*mag_ratio and pad to a multiple of 32 (reference
+  easyocr/imgproc.py:37-65) — the pad-to-32 is what makes width-bucketed
+  batching possible at scale.
+
+Divergence (documented): the region map normalizes darkness adaptively
+by the image's own min/max, where CRAFT normalizes by ImageNet mean/var
+(reference easyocr/imgproc.py:20-26); the stand-in has no learned
+contrast invariance, so it buys it with min/max stretch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LOW_TEXT = 0.4  # reference default low_text (easyocr/easyocr.py:311)
+LINK_THRESHOLD = 0.4
+TEXT_THRESHOLD = 0.7
+MIN_AREA = 10  # reference craft_utils.py:35 (size filter)
+LINK_RADIUS_H = 4  # half-res horizontal affinity reach (bridges <=8px gaps;
+#                    word gaps are >=9 half-res px at the smallest render scale)
+LINK_RADIUS_V = 1  # vertical affinity reach (bridges intra-glyph row gaps;
+#                    line gaps are >=4 half-res px)
+RATIO_NET = 2  # score maps are half resolution, like CRAFT
+
+
+def resize_aspect_ratio(
+    img: np.ndarray, canvas_size: int = 2560, mag_ratio: float = 1.0
+) -> tuple[np.ndarray, float]:
+    """Nearest-neighbor aspect resize capped at canvas_size, padded to a
+    multiple of 32. Returns (padded_img, ratio) with ratio = target/orig."""
+    h, w = img.shape
+    target = mag_ratio * max(h, w)
+    if target > canvas_size:
+        target = canvas_size
+    ratio = target / max(h, w)
+    th, tw = int(h * ratio), int(w * ratio)
+    if ratio != 1.0:
+        ys = (np.arange(th) / ratio).astype(np.int64).clip(0, h - 1)
+        xs = (np.arange(tw) / ratio).astype(np.int64).clip(0, w - 1)
+        img = img[ys][:, xs]
+    ph = th if th % 32 == 0 else th + (32 - th % 32)
+    pw = tw if tw % 32 == 0 else tw + (32 - tw % 32)
+    # pad with the background (lightest) value: the reference pads zeros
+    # AFTER mean/var normalization (zero = mean color); our darkness-based
+    # maps need the pad to read as "no ink", i.e. the brightest value
+    out = np.full((ph, pw), img.max(), dtype=img.dtype)
+    out[:th, :tw] = img
+    return out, ratio
+
+
+def compute_score_maps(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """gray uint8[H, W] -> (region, link) float32 at half resolution."""
+    g = gray.astype(np.float32)
+    lo, hi = g.min(), g.max()
+    darkness = (hi - g) / max(hi - lo, 1.0)  # adaptive stretch (see module doc)
+    h, w = darkness.shape
+    h2, w2 = h // 2, w // 2
+    d = darkness[: h2 * 2, : w2 * 2]
+    region = d.reshape(h2, 2, w2, 2).max(axis=(1, 3))
+    # affinity: anisotropic dilation (sliding max) of the region map —
+    # wide horizontally (links characters within a word), 1px vertically
+    # (keeps sparse glyph rows connected without merging lines)
+    link = region.copy()
+    for r in range(1, LINK_RADIUS_H + 1):
+        link[:, r:] = np.maximum(link[:, r:], region[:, :-r])
+        link[:, :-r] = np.maximum(link[:, :-r], region[:, r:])
+    tmp = link.copy()
+    for r in range(1, LINK_RADIUS_V + 1):
+        link[r:, :] = np.maximum(link[r:, :], tmp[:-r, :])
+        link[:-r, :] = np.maximum(link[:-r, :], tmp[r:, :])
+    return region.astype(np.float32), link.astype(np.float32)
+
+
+def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected CC labeling via row-run union-find (the role of
+    cv2.connectedComponentsWithStats in reference craft_utils.py:30).
+    Returns (labels int32[H, W] with 0 = background, n_labels)."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list[int] = [0]
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label)
+    for y in range(h):
+        row = mask[y]
+        # run extraction: starts/ends of True runs
+        padded = np.empty(w + 2, dtype=bool)
+        padded[0] = padded[-1] = False
+        padded[1:-1] = row
+        diff = np.diff(padded.astype(np.int8))
+        starts = np.flatnonzero(diff == 1)
+        ends = np.flatnonzero(diff == -1)  # exclusive
+        runs: list[tuple[int, int, int]] = []
+        for s, e in zip(starts, ends):
+            lab = 0
+            # merge with overlapping runs in previous row (4-connectivity:
+            # column overlap)
+            for ps, pe, pl in prev_runs:
+                if pe <= s:
+                    continue
+                if ps >= e:
+                    break
+                if lab == 0:
+                    lab = find(pl)
+                else:
+                    union(lab, pl)
+            if lab == 0:
+                parent.append(len(parent))
+                lab = len(parent) - 1
+            labels[y, s:e] = lab
+            runs.append((s, e, lab))
+        prev_runs = runs
+    if len(parent) > 1:
+        # resolve + compact labels
+        roots = np.array([find(i) for i in range(len(parent))], dtype=np.int32)
+        uniq = np.unique(roots[1:])
+        remap = np.zeros(len(parent), dtype=np.int32)
+        remap[uniq] = np.arange(1, len(uniq) + 1)
+        labels = remap[roots[labels]]
+        return labels, len(uniq)
+    return labels, 0
+
+
+def get_det_boxes(
+    region: np.ndarray,
+    link: np.ndarray,
+    text_threshold: float = TEXT_THRESHOLD,
+    low_text: float = LOW_TEXT,
+    link_threshold: float = LINK_THRESHOLD,
+) -> list[np.ndarray]:
+    """Score maps -> list of 4-point boxes (float, half-res coords),
+    following getDetBoxes_core (reference easyocr/craft_utils.py:20-85):
+    threshold both maps, clip the sum, CC, area filter, max-region-score
+    filter, tight box per component over TEXT pixels only (the reference
+    removes the link-only area before fitting the rectangle,
+    craft_utils.py:38-44)."""
+    text_score = region >= low_text
+    link_score = link >= link_threshold
+    combined = np.clip(
+        text_score.astype(np.int8) + link_score.astype(np.int8), 0, 1
+    ).astype(bool)
+    labels, n = connected_components(combined)
+    boxes: list[np.ndarray] = []
+    for k in range(1, n + 1):
+        comp = labels == k
+        if int(comp.sum()) < MIN_AREA:
+            continue
+        if float(region[comp].max()) < text_threshold:
+            continue
+        ink = comp & text_score
+        if not ink.any():
+            continue
+        ys, xs = np.nonzero(ink)
+        x0, x1 = int(xs.min()), int(xs.max())
+        y0, y1 = int(ys.min()), int(ys.max())
+        # clockwise from top-left, the reference's coordinate contract
+        # (easyocr/craft_utils.py:79-81)
+        boxes.append(
+            np.array(
+                [[x0, y0], [x1 + 1, y0], [x1 + 1, y1 + 1], [x0, y1 + 1]],
+                dtype=np.float32,
+            )
+        )
+    return boxes
+
+
+def adjust_result_coordinates(
+    boxes: list[np.ndarray], ratio: float, ratio_net: int = RATIO_NET
+) -> list[np.ndarray]:
+    """Scale half-res box coords back to input pixels (reference
+    easyocr/craft_utils.py:245-251: coords * ratio * ratio_net)."""
+    inv = ratio_net / ratio
+    return [b * inv for b in boxes]
+
+
+def detect(gray: np.ndarray, canvas_size: int = 2560, mag_ratio: float = 1.0):
+    """Full detect stage: resize -> score maps -> boxes -> rescale.
+    Returns list of 4-point float boxes in input pixel coords."""
+    resized, ratio = resize_aspect_ratio(gray, canvas_size, mag_ratio)
+    region, link = compute_score_maps(resized)
+    boxes = get_det_boxes(region, link)
+    return adjust_result_coordinates(boxes, ratio)

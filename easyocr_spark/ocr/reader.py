@@ -1,0 +1,99 @@
+"""Reader-style facade: detect / recognize / readtext.
+
+API mirror of the reference's Reader (reference easyocr/easyocr.py):
+
+- ``detect(gray)`` -> (horizontal_list, free_list)   (:311-351)
+- ``recognize(gray, horizontal_list, free_list)`` -> [(box, text, conf)]
+  (:353-438) — crops in reading order (top-to-bottom lines, left-to-
+  right words), two-pass contrast retry, greedy/beam decoder switch.
+- ``readtext(gray)`` = detect ∘ recognize             (:440-474)
+- ``readtext_text`` — the projection our span pipeline uses: non-empty
+  texts joined by single spaces in reading order.
+
+This module is pure numpy and Spark-free so it can be unit-tested
+standalone and imported inside Arrow UDF workers (the "weights" — the
+glyph atlas — are module-level, loaded once per executor process, the
+executor-resident-singleton pattern from SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import detection
+from .grouping import group_text_box, min_size_filter
+from .recognition import recognize_two_pass
+
+MIN_SIZE = 10
+
+
+def four_point_transform(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """Perspective-warp a quad crop to an axis-aligned rectangle
+    (reference easyocr/utils.py:428-448, cv2-free: inverse bilinear
+    sampling on a target grid)."""
+    q = np.asarray(quad, dtype=np.float64)
+    (tl, tr, br, bl) = q
+    w = int(max(np.linalg.norm(br - bl), np.linalg.norm(tr - tl)))
+    h = int(max(np.linalg.norm(tr - br), np.linalg.norm(tl - bl)))
+    w, h = max(w, 1), max(h, 1)
+    # bilinear interpolation of the quad edges: x(u,v) etc.
+    us = (np.arange(w) + 0.5) / w
+    vs = (np.arange(h) + 0.5) / h
+    u, v = np.meshgrid(us, vs)
+    top = tl[None, None, :] + u[:, :, None] * (tr - tl)[None, None, :]
+    bot = bl[None, None, :] + u[:, :, None] * (br - bl)[None, None, :]
+    pts = top + v[:, :, None] * (bot - top)
+    xs = pts[:, :, 0].round().astype(np.int64).clip(0, gray.shape[1] - 1)
+    ys = pts[:, :, 1].round().astype(np.int64).clip(0, gray.shape[0] - 1)
+    return gray[ys, xs]
+
+
+class StandInReader:
+    """Deterministic Reader; constructor args mirror the reference's
+    decision-tree outputs (language list -> model/charset routing,
+    reference easyocr/easyocr.py:106-167). The stand-in has one glyph
+    atlas, so lang only tags results."""
+
+    def __init__(self, lang_list: list[str] | None = None, decoder: str = "greedy"):
+        self.lang_list = lang_list or ["latin"]
+        self.decoder = decoder
+
+    def detect(
+        self, gray: np.ndarray, min_size: int = MIN_SIZE
+    ) -> tuple[list[list[int]], list[list[list[float]]]]:
+        boxes = detection.detect(gray)
+        horizontal, free = group_text_box(boxes)
+        return min_size_filter(horizontal, free, min_size)
+
+    def recognize(
+        self,
+        gray: np.ndarray,
+        horizontal_list: list[list[int]],
+        free_list: list[list[list[float]]],
+    ) -> list[tuple[list, str, float]]:
+        h, w = gray.shape
+        results: list[tuple[list, str, float]] = []
+        # horizontal boxes are already in reading order from grouping;
+        # the reference's get_image_list re-sorts by top y
+        # (easyocr/utils.py:621-622) which is stable-equal here
+        for x0, x1, y0, y1 in horizontal_list:
+            x0c, y0c = max(0, x0), max(0, y0)
+            crop = gray[y0c : min(h, y1), x0c : min(w, x1)]
+            if crop.size == 0:
+                continue
+            text, conf = recognize_two_pass(crop, decoder=self.decoder)
+            box = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+            results.append((box, text, conf))
+        for quad in free_list:
+            crop = four_point_transform(gray, np.asarray(quad))
+            text, conf = recognize_two_pass(crop, decoder=self.decoder)
+            results.append(([list(p) for p in quad], text, conf))
+        return results
+
+    def readtext(self, gray: np.ndarray) -> list[tuple[list, str, float]]:
+        horizontal, free = self.detect(gray)
+        return self.recognize(gray, horizontal, free)
+
+    def readtext_text(self, gray: np.ndarray) -> str:
+        """Reading-order concatenation — the span-text projection."""
+        return " ".join(t for _, t, _ in self.readtext(gray) if t)

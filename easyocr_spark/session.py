@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-aware defaults.
+
+Tuned for the sandbox (local[N], single JVM) but every knob is chosen to
+also be the right default on a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime coalescing + skew-join splitting) — at 100 TB the
+  static shuffle-partition count is always wrong somewhere; AQE fixes it
+  per-stage.
+- ``spark.sql.shuffle.partitions`` ~= total cores locally; on a real
+  cluster this should be 2-3x total cores (overridable via env).
+- Arrow enabled with a bounded ``maxRecordsPerBatch`` so one OCR UDF
+  batch of image bytes stays well under executor memory (images are
+  KB-to-MB scale binaries; 256 rows/batch bounds peak at ~hundreds of MB
+  even for 2560px scans — mirrors EasyOCR's batch_size knob,
+  reference easyocr/easyocr.py:538-579).
+- UTC session timezone so DuckDB oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "easyocr_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` sets local[] parallelism; shuffle partitions default to the
+    same so a local run has one shuffle partition per core (the guide's
+    recommendation; 200 default is wrong for both tiny and huge data).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
