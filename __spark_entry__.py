@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: full OCR extraction pipeline at sf0.001
+                  (interleaved docs -> media spans OCR'd -> reassembled).
+queries()       — one entry per implemented operator (SURVEY.md §2 +
+                  the training-data operator suite).
+oracle_sql()    — DuckDB twins. The interleaved corpus and the OCR
+                  ground truth are deterministic arithmetic functions of
+                  the flat documents table / media_ref (see
+                  easyocr_spark/fixtures/corpus.py), so even the OCR
+                  output is fully SQL-verifiable: the Spark side must
+                  recover from rendered pixels exactly what the oracle
+                  computes from the formula.
 """
 
 from __future__ import annotations
@@ -12,27 +18,260 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from easyocr_spark.fixtures import corpus
+from easyocr_spark.ocr import udfs
+from easyocr_spark.operators import dedup, events, pipeline, similarity
+from easyocr_spark.operators import text_analysis as ta
+from easyocr_spark.sources import tables
 
 
+# --------------------------------------------------------------- helpers
+def _docs_media(spark: SparkSession, sf_dir: str):
+    return (
+        tables.interleaved_documents(spark, sf_dir),
+        tables.media_table(spark, sf_dir),
+    )
+
+
+def _distinct_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = _docs_media(spark, sf_dir)
+    spans = pipeline.explode_spans(docs)
+    refs = spans.filter(F.col("kind") == "media").select("media_ref").distinct()
+    return refs.join(media, "media_ref", "inner")
+
+
+DUCK_DISTINCT_REFS = f"""
+    SELECT DISTINCT media_ref FROM ({corpus.DUCKDB_FLAT_SPANS_SQL})
+    WHERE kind = 'media'
+"""
+
+
+# ------------------------------------------------------------ OCR family
+def q_interleave_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.interleaved_documents(spark, sf_dir)
+    return pipeline.explode_spans(docs)
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = _docs_media(spark, sf_dir)
+    return pipeline.extract_spans(docs, media)
+
+
+def q_extract_documents_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = _docs_media(spark, sf_dir)
+    out = pipeline.extract_documents(docs, media)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["text"]), " ").alias(
+            "full_text"
+        ),
+    )
+
+
+def q_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = _distinct_media(spark, sf_dir)
+    return refs.mapInPandas(
+        udfs.detect_batches, schema=udfs.DETECT_RESULT_SCHEMA
+    ).select("media_ref", "n_boxes")
+
+
+def q_ocr_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = _docs_media(spark, sf_dir)
+    spans = pipeline.explode_spans(docs)
+    return pipeline.ocr_media_refs(spans, media).select("media_ref", "text")
+
+
+def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = _distinct_media(spark, sf_dir)
+    return refs.mapInPandas(udfs.dims_batches, schema=udfs.DIMS_RESULT_SCHEMA)
+
+
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.interleaved_documents(spark, sf_dir)
+    spans = pipeline.explode_spans(docs)
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias("n_text"),
+    )
+
+
+def q_media_ref_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.interleaved_documents(spark, sf_dir)
+    spans = pipeline.explode_spans(docs)
+    return (
+        spans.filter(F.col("kind") == "media")
+        .groupBy("media_ref")
+        .agg(F.count("*").alias("n_uses"))
+        .filter(F.col("n_uses") > 1)
+    )
+
+
+# ----------------------------------------------------- training-data ops
+def _mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.with_mutants(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_mutated(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs_exhaustive(_mutated(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_mutated(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_mutated(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.lang_id(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.quality_score(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.token_stats(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- similarity
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(tables.read_table(spark, sf_dir, "embeddings"))
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(tables.read_table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs(
+        similarity.with_planted_dups(tables.read_table(spark, sf_dir, "embeddings"))
+    )
+
+
+# ----------------------------------------------------------------- events
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(tables.read_table(spark, sf_dir, "events"))
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.windowed_counts(tables.read_table(spark, sf_dir, "events"))
+
+
+def q_events_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.top_event_types(tables.read_table(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------------ entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs, media = _docs_media(spark, sf_dir)
+    return pipeline.extract_documents(docs, media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "interleave_spans": q_interleave_spans,
+        "extract_spans": q_extract_spans,
+        "extract_documents_text": q_extract_documents_text,
+        "detect_boxes": q_detect_boxes,
+        "ocr_results": q_ocr_results,
+        "media_dims": q_media_dims,
+        "span_stats": q_span_stats,
+        "media_ref_usage": q_media_ref_usage,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_brute": q_knn_brute,
+        "knn_lsh": q_knn_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "events_sessionize": q_events_sessionize,
+        "events_windowed": q_events_windowed,
+        "events_top_types": q_events_top_types,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    flat = corpus.DUCKDB_FLAT_SPANS_SQL
+    gt = corpus.duckdb_gt_from_ref("media_ref")
+    mutants = dedup.duckdb_with_mutants_sql()
+    wexpr, hexpr = corpus.duckdb_dims_exprs("media_ref")
+    return {
+        "interleave_spans": f"SELECT doc_id, pos, \"offset\", kind, text, media_ref FROM ({flat})",
+        "extract_spans": f"""
+            SELECT doc_id, "offset", kind,
+                   CASE WHEN kind = 'media' THEN {gt} ELSE text END AS text,
+                   media_ref
+            FROM ({flat})
+        """,
+        "extract_documents_text": f"""
+            WITH f AS (
+              SELECT doc_id, "offset",
+                     CASE WHEN kind = 'media' THEN {gt} ELSE text END AS text
+              FROM ({flat})
+            ),
+            base AS (SELECT concat('doc_', doc_id) AS doc_id FROM documents)
+            SELECT b.doc_id,
+                   CAST(count(f."offset") AS INT) AS n_spans,
+                   coalesce(string_agg(f.text, ' ' ORDER BY f."offset"), '')
+                     AS full_text
+            FROM base b LEFT JOIN f ON f.doc_id = b.doc_id
+            GROUP BY b.doc_id
+        """,
+        "detect_boxes": f"""
+            SELECT media_ref, {corpus.duckdb_word_count_expr('media_ref')} AS n_boxes
+            FROM ({DUCK_DISTINCT_REFS})
+        """,
+        "ocr_results": f"""
+            SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
+        """,
+        "media_dims": f"""
+            SELECT media_ref, {wexpr} AS width, {hexpr} AS height
+            FROM ({DUCK_DISTINCT_REFS})
+        """,
+        "span_stats": f"""
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_media,
+                   CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_text
+            FROM ({flat}) GROUP BY doc_id
+        """,
+        "media_ref_usage": f"""
+            SELECT media_ref, count(*) AS n_uses FROM ({flat})
+            WHERE kind = 'media' GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_exact": dedup.duckdb_exact_sql(mutants),
+        "dedup_jaccard": dedup.duckdb_jaccard_sql(mutants),
+        "dedup_minhash_lsh": dedup.duckdb_jaccard_sql(mutants),
+        "dedup_simhash": dedup.duckdb_simhash_pairs_sql(mutants),
+        "lang_id": ta.duckdb_lang_id_sql(),
+        "quality_score": ta.duckdb_quality_sql(),
+        "token_stats": ta.duckdb_token_stats_sql(),
+        "doc_fingerprint": ta.duckdb_fingerprint_sql(),
+        "knn_brute": similarity.duckdb_brute_topk_sql(),
+        "knn_lsh": similarity.duckdb_lsh_topk_sql(),
+        "embedding_neardup": similarity.duckdb_neardup_sql(),
+        "events_sessionize": events.duckdb_sessionize_sql(),
+        "events_windowed": events.duckdb_windowed_sql(),
+        "events_top_types": events.duckdb_top_event_types_sql(),
+    }

@@ -1,0 +1,90 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. The primary metric is the flagship
+extraction pipeline's documents/sec (media spans OCR'd end-to-end);
+per-query wall seconds are reported in "queries".
+
+Scaling evidence (north rule: >=0.8 efficiency N -> 4N) is produced by
+tools/scaling_bench.py, which runs THIS workload at two parallelism
+levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from easyocr_spark.operators import dedup, events, pipeline, similarity
+    from easyocr_spark.operators import text_analysis as ta
+    from easyocr_spark.session import get_spark
+    from easyocr_spark.sources import tables
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name=f"bench_{cpus}", cpus=cpus)
+
+    docs = tables.interleaved_documents(spark, sf_dir)
+    media = tables.media_table(spark, sf_dir)  # cached render, not timed
+    media.count()
+    n_docs = docs.count()
+    flat_docs = tables.read_table(spark, sf_dir, "documents")
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    ev = tables.read_table(spark, sf_dir, "events")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, df_fn) -> None:
+        t0 = time.time()
+        df_fn().count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: full OCR extraction (explode -> dedup refs -> join bytes
+    # -> Arrow OCR UDF -> join back -> reassemble)
+    timed("extract", lambda: pipeline.extract_documents(docs, media))
+    timed("detect_recognize_refs", lambda: pipeline.ocr_media_refs(
+        pipeline.explode_spans(docs), media
+    ))
+    timed("span_algebra", lambda: pipeline.reassemble(
+        pipeline.explode_spans(docs).select(
+            "doc_id", "offset", "kind", "text", "media_ref"
+        )
+    ))
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(
+        dedup.with_mutants(flat_docs)
+    ))
+    timed("dedup_simhash", lambda: dedup.simhash_pairs(
+        dedup.with_mutants(flat_docs)
+    ))
+    timed("knn_brute", lambda: similarity.brute_force_topk(emb))
+    timed("knn_lsh", lambda: similarity.lsh_topk(emb))
+    timed("quality_tokens", lambda: ta.quality_score(flat_docs).join(
+        ta.token_stats(flat_docs), "doc_id"
+    ))
+    timed("events_sessionize", lambda: events.sessionize(ev))
+
+    extract_sec = timings["extract"]
+    result = {
+        "metric": "extract_documents_per_sec",
+        "value": round(n_docs / extract_sec, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "total_sec": round(sum(timings.values()), 2),
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

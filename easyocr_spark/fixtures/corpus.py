@@ -191,3 +191,41 @@ def duckdb_gt_from_ref(ref_col: str) -> str:
     a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
     b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
     return duckdb_gt_expr(a, b)
+
+
+def duckdb_word_count_expr(ref_col: str) -> str:
+    """Expected number of detected word boxes for a media_ref (0 for the
+    tiny class; otherwise total words across lines)."""
+    a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    return f"""
+    CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 0
+    ELSE CAST(list_sum(list_transform(range(0, ({a} + 2*({b})) % 2 + 1),
+                       L -> (({a}) + 3*({b}) + L) % 3 + 1)) AS INT)
+    END"""
+
+
+def duckdb_dims_exprs(ref_col: str) -> tuple[str, str]:
+    """(width_expr, height_expr) for a media_ref — mirrors the renderer
+    geometry (render.py: MARGIN=4, CELL_W=6, GLYPH_H=7, WORD_GAP=8,
+    LINE_GAP=4, tiny=16x14)."""
+    a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    scale = f"(2 + 2*(({a} + {b}) % 2))"
+    n_lines = f"(({a} + 2*({b})) % 2 + 1)"
+    line_w = (
+        f"list_max(list_transform(range(0, {n_lines}), L -> "
+        f"list_sum(list_transform(range(0, (({a}) + 3*({b}) + L) % 3 + 1), "
+        f"j -> 6 * length(list_extract({_vocab_sql()}, "
+        f"CAST((({a})*31 + ({b})*17 + L*13 + j*7) % 64 + 1 AS INT))) - 1)) "
+        f"+ ((({a}) + 3*({b}) + L) % 3) * 9))"
+    )
+    width = (
+        f"CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 16 "
+        f"ELSE CAST((8 + {line_w}) * {scale} AS INT) END"
+    )
+    height = (
+        f"CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 14 "
+        f"ELSE CAST((8 + {n_lines} * 7 + ({n_lines} - 1) * 4) * {scale} AS INT) END"
+    )
+    return width, height

@@ -1,0 +1,346 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale story (the part that matters at 100 TB):
+
+- exact: one shuffle on a 16-byte digest — the cheapest possible
+  group-by; AQE coalesces the tiny group partitions.
+- exhaustive n-gram Jaccard: shingle self-join. Quadratic in docs per
+  shared shingle — correct at oracle scale, NOT the scale path. Kept as
+  the correctness baseline the approximate variants are verified
+  against.
+- MinHash+LSH: 128 permutations, 32 bands x 4 rows. Shuffles are
+  per-doc (signature agg) and per-bucket (candidate join) — linear in
+  corpus size. Candidates are then EXACT-verified with integer-rational
+  Jaccard arithmetic, so the output contract equals the exhaustive
+  operator (for J >= 0.8 the per-pair miss probability is
+  (1 - 0.8^4)^32 ~= 5e-8 — see SURVEY.md §4).
+- SimHash: 62-bit signatures built from an engine-portable polynomial
+  token hash (base 131/137 mod 2^31-1) so the DuckDB oracle reproduces
+  the EXACT signature, not just the verified output. Pair scan is
+  exhaustive here (oracle parity); the scale path is banding the 62
+  bits into chunks and bucket-joining, same as LSH.
+
+The synthetic corpus has no natural near-dups, so ``with_mutants``
+deterministically plants them: every doc with doc_id % 10 == 3 gets a
+copy (doc_id + MUTANT_OFFSET) with two tokens appended -> Jaccard vs
+the original ~n/(n+2) >= 0.8 for docs with >= 10 shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+JACCARD_MILLI = 800  # threshold 0.8 as integer rational arithmetic
+MUTANT_OFFSET = 1_000_000
+MUTANT_SUFFIX = " zz9 qq7"
+EXACT_OFFSET = 2_000_000  # verbatim copies: exact-dup + hamming-0 pairs
+N_PERM = 128
+N_BANDS = 32  # 4 rows per band
+HAM_MAX = 8
+HASH_MOD = 2147483647  # 2^31-1
+HASH_BASE_1 = 131
+HASH_BASE_2 = 137
+
+
+def with_mutants(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(MUTANT_SUFFIX)).alias("text"),
+    )
+    exacts = docs.filter(F.col("doc_id") % 25 == 7).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    return base.unionByName(mutants).unionByName(exacts)
+
+
+def duckdb_with_mutants_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id, text FROM {table}
+    UNION ALL
+    SELECT doc_id + {MUTANT_OFFSET} AS doc_id, text || '{MUTANT_SUFFIX}' AS text
+    FROM {table} WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT doc_id + {EXACT_OFFSET} AS doc_id, text
+    FROM {table} WHERE doc_id % 25 = 7
+    """
+
+
+# ------------------------------------------------------------------- exact
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Duplicate-text groups: (text_hash, n_docs, first_doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def duckdb_exact_sql(table_sql: str) -> str:
+    return f"""
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS first_doc_id
+    FROM ({table_sql}) GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+# --------------------------------------------------------------- shingles
+def shingle_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams of lower(text)."""
+    toks = F.split(F.lower("text"), r"\s+")
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    )
+
+
+DUCKDB_SHINGLES = """
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[CAST(i+1 AS INT):CAST(i+{n} AS INT)], ' ') AS shingle
+    FROM (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ), UNNEST(range(0, greatest(len(toks) - {n} + 1, 0))) AS t(i)
+"""
+
+
+def _jaccard_from_shingles(shingles: DataFrame, threshold_milli: int) -> DataFrame:
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .filter(
+            F.col("common") * 1000
+            >= F.lit(threshold_milli) * (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("common") * 1000 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).cast("long").alias("jaccard_milli"),
+        )
+    )
+
+
+def jaccard_pairs_exhaustive(
+    docs: DataFrame, threshold_milli: int = JACCARD_MILLI
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_milli) for all pairs with J >= threshold.
+    Integer-rational comparison — engines agree exactly."""
+    return _jaccard_from_shingles(shingle_sets(docs), threshold_milli)
+
+
+def duckdb_jaccard_sql(table_sql: str, threshold_milli: int = JACCARD_MILLI) -> str:
+    shingles = DUCKDB_SHINGLES.format(table_sql=table_sql, n=SHINGLE_N)
+    return f"""
+    WITH sh AS ({shingles}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(common * 1000 / (sa.sz + sb.sz - common)) AS BIGINT)
+             AS jaccard_milli
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1000 >= {threshold_milli} * (sa.sz + sb.sz - common)
+    """
+
+
+# ------------------------------------------------------------ MinHash+LSH
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold_milli: int = JACCARD_MILLI,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH candidate generation + exact verification. Output contract ==
+    jaccard_pairs_exhaustive (same oracle), linear-scalable plan."""
+    shingles = shingle_sets(docs)
+    minh = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(p))).alias(f"h{p}")
+            for p in range(n_perm)
+        ]
+    )
+    rows_per_band = n_perm // n_bands
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = minh.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .filter(
+            F.col("common") * 1000
+            >= F.lit(threshold_milli) * (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("common") * 1000 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).cast("long").alias("jaccard_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+def _token_hash(base: int):
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("token")),
+        lambda i: F.ascii(F.substring(F.col("token"), i, 1)),
+    )
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: (acc * base + c) % HASH_MOD
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim1, sim2): two 31-bit halves of a 62-bit SimHash over
+    frequency-weighted whitespace tokens, with an engine-portable token
+    hash — the DuckDB oracle reproduces signatures bit-for-bit."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    hashed = toks.select(
+        "doc_id", _token_hash(HASH_BASE_1).alias("t1"), _token_hash(HASH_BASE_2).alias("t2")
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.floor(F.col("t1") / F.lit(2 ** j)) % 2) * 2 - 1
+            ).alias(f"b1_{j}")
+            for j in range(31)
+        ],
+        *[
+            F.sum(
+                (F.floor(F.col("t2") / F.lit(2 ** j)) % 2) * 2 - 1
+            ).alias(f"b2_{j}")
+            for j in range(31)
+        ],
+    )
+    sim1 = sum(
+        [F.when(F.col(f"b1_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(31)],
+        F.lit(0),
+    )
+    sim2 = sum(
+        [F.when(F.col(f"b2_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(31)],
+        F.lit(0),
+    )
+    return bit_sums.select(
+        "doc_id", sim1.cast("long").alias("sim1"), sim2.cast("long").alias("sim2")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = HAM_MAX) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within max_hamming bits."""
+    sig = simhash_signatures(docs)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim1").alias("s1a"),
+        F.col("sim2").alias("s2a"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim1").alias("s1b"),
+        F.col("sim2").alias("s2b"),
+    )
+    ham = F.bit_count(
+        F.col("s1a").bitwiseXOR(F.col("s1b"))
+    ) + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def duckdb_simhash_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:
+    b1 = ", ".join(
+        f"sum(((t1 // {2 ** j}) % 2) * 2 - 1) AS b1_{j}" for j in range(31)
+    )
+    b2 = ", ".join(
+        f"sum(((t2 // {2 ** j}) % 2) * 2 - 1) AS b2_{j}" for j in range(31)
+    )
+    s1 = " + ".join(f"(CASE WHEN b1_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(31))
+    s2 = " + ".join(f"(CASE WHEN b2_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(31))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM ({table_sql})
+    ),
+    hashed AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(token)+1),
+            i -> ascii(substring(token, CAST(i AS INT), 1))::BIGINT)),
+          (acc, c) -> (acc * {HASH_BASE_1} + c) % {HASH_MOD}) AS t1,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(token)+1),
+            i -> ascii(substring(token, CAST(i AS INT), 1))::BIGINT)),
+          (acc, c) -> (acc * {HASH_BASE_2} + c) % {HASH_MOD}) AS t2
+      FROM toks
+    ),
+    bits AS (SELECT doc_id, {b1}, {b2} FROM hashed GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({s1} AS BIGINT) AS sim1, CAST({s2} AS BIGINT) AS sim2
+            FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) AS INT)
+             AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2))
+          <= {max_hamming}
+    """

@@ -1,0 +1,122 @@
+"""Event-stream operators in batch form (sessionization, windowed aggs).
+
+The reference has no streaming semantics (SURVEY.md §2.9); these are the
+batch twins of the Structured Streaming operators in streaming/ — same
+logical results, verified against DuckDB window-function oracles. The
+streaming module reuses the same windowing contract with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+WINDOW_MIN = 5
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization per user: the lag + cumulative-sum
+    pattern (one shuffle on user_id; the window sort rides the same
+    partitioning). Output: per-session stats."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; Spark 4 refuses a direct cast
+    # to long — hop via timestamp (session tz pinned UTC = DuckDB epoch())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_session = (
+        events.withColumn("gap_s", gap)
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("gap_s").isNull() | (F.col("gap_s") > gap_minutes * 60), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_millis(F.min(F.col("ts").cast("timestamp"))).alias("t_start_ms"),
+        F.unix_millis(F.max(F.col("ts").cast("timestamp"))).alias("t_end_ms"),
+        F.floor(F.sum("value") * 1000).cast("long").alias("value_sum_milli"),
+    )
+
+
+def duckdb_sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
+    # floor(epoch(...)) everywhere: DuckDB's epoch() is a fractional
+    # DOUBLE and a bare ::BIGINT cast ROUNDS, which would disagree with
+    # Spark's truncating timestamp->long cast at sub-second boundaries
+    return f"""
+    WITH g AS (
+      SELECT *, CAST(floor(epoch(ts)) AS BIGINT)
+                - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > {gap_minutes * 60}
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           epoch_ms(min(ts)) AS t_start_ms, epoch_ms(max(ts)) AS t_end_ms,
+           CAST(floor(sum(value) * 1000) AS BIGINT) AS value_sum_milli
+    FROM s GROUP BY 1, 2
+    """
+
+
+def windowed_counts(events: DataFrame, minutes: int = WINDOW_MIN) -> DataFrame:
+    """Tumbling-window counts per event_type (the batch twin of the
+    streaming windowed agg). Window start exported as epoch seconds so
+    the oracle compares integers, not timestamps."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.sum("value") * 1000).cast("long").alias("value_sum_milli"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start_s"),
+            "event_type",
+            "n",
+            "value_sum_milli",
+        )
+    )
+
+
+def duckdb_windowed_sql(minutes: int = WINDOW_MIN) -> str:
+    secs = minutes * 60
+    return f"""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {secs}) * {secs} AS window_start_s,
+           event_type, count(*) AS n,
+           CAST(floor(sum(value) * 1000) AS BIGINT) AS value_sum_milli
+    FROM events GROUP BY 1, 2
+    """
+
+
+def top_event_types(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per user by count — the top-k-per-group
+    pattern (partial agg + window)."""
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "event_type", "n", "rank")
+    )
+
+
+def duckdb_top_event_types_sql(k: int = 3) -> str:
+    return f"""
+    WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type ASC) AS rank
+          FROM c)
+    SELECT user_id, event_type, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+    """

@@ -1,0 +1,129 @@
+"""The flagship extraction pipeline — span algebra + OCR, Spark-first.
+
+Plan shape (SURVEY.md §1.3), all declarative until the single Arrow UDF:
+
+1. posexplode(spans)            narrow; keeps both array position and
+                                the logical offset (arrays are stored
+                                out of offset order by design)
+2. split media / text spans     narrow filters (Catalyst prunes the
+                                media join below to kind='media' rows)
+3. distinct media_ref           shuffle on media_ref — this is the OCR
+                                dedup: duplicate refs (within and across
+                                docs) are OCR'd ONCE, then results fan
+                                back out. At 10^12 docs this is the
+                                single biggest throughput lever for
+                                media-dedup-heavy corpora.
+4. join media bytes             co-partitioned shuffle hash join on
+                                media_ref (broadcast at test scale —
+                                Catalyst/AQE decides; neither side is
+                                broadcastable at 100 TB)
+5. OCR mapInPandas              the one Arrow boundary; repartitioned
+                                first so image-count is balanced and the
+                                per-partition work is independent of
+                                upstream layout (axis-A skew: a doc with
+                                10k media spans contributes 10k refs
+                                spread uniformly by hash)
+6. join results back to spans   media_ref join; dup-ref hot keys are
+                                handled by AQE skew join (plus an
+                                explicit salted-join operator in
+                                skew.py for the pathological case)
+7. reassemble                   groupBy(doc_id) + array_sort on
+                                struct(offset, ...) — offset-first field
+                                order makes array_sort the ORDER BY
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ocr.udfs import OCR_RESULT_SCHEMA, ocr_batches
+
+SPAN_COLS = ["doc_id", "offset", "kind", "text", "media_ref"]
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """Nested docs -> flat span rows (doc_id, pos, offset, kind, text,
+    media_ref). ``pos`` is the physical array index; ``offset`` the
+    logical order — distinct because storage order is rotated."""
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def ocr_media_refs(
+    spans: DataFrame, media: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Distinct media refs -> (media_ref, text, conf, n_boxes).
+
+    The repartition before the UDF decouples OCR parallelism from the
+    join's output partitioning and spreads image-size skew; AQE may
+    coalesce afterwards. num_partitions defaults to
+    4 x defaultParallelism so size-skewed partitions still keep every
+    core busy (straggler mitigation without per-image cost modeling).
+    """
+    spark = spans.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 4
+    refs = (
+        spans.filter(F.col("kind") == "media")
+        .select("media_ref")
+        .distinct()
+    )
+    with_bytes = refs.join(media, "media_ref", "inner")
+    return with_bytes.repartition(n, "media_ref").mapInPandas(
+        ocr_batches, schema=OCR_RESULT_SCHEMA
+    )
+
+
+def extract_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Flat extracted spans: media text filled in, text spans untouched.
+    Output columns: doc_id, offset, kind, text, media_ref."""
+    spans = explode_spans(docs)
+    results = ocr_media_refs(spans, media).select(
+        "media_ref", F.col("text").alias("ocr_text")
+    )
+    media_spans = (
+        spans.filter(F.col("kind") == "media")
+        .join(results, "media_ref", "left")
+        .select(
+            "doc_id",
+            "offset",
+            "kind",
+            F.coalesce("ocr_text", F.lit("")).alias("text"),
+            "media_ref",
+        )
+    )
+    text_spans = spans.filter(F.col("kind") == "text").select(*SPAN_COLS)
+    return media_spans.select(*SPAN_COLS).unionByName(text_spans)
+
+
+def reassemble(extracted_spans: DataFrame) -> DataFrame:
+    """Flat spans -> documents(doc_id, spans array<struct<...>>) with
+    spans in offset order (array_sort on offset-first struct)."""
+    return extracted_spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ).alias("spans")
+    )
+
+
+def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Full pipeline: nested in, nested out — every media span's text
+    replaced by its recognized string, order restored by offset.
+    Documents with empty span arrays are preserved (left join)."""
+    out = reassemble(extract_spans(docs, media))
+    empty = docs.filter(F.size("spans") == 0).select(
+        "doc_id",
+        F.expr(
+            "CAST(array() AS array<struct<offset:int,kind:string,"
+            "text:string,media_ref:string>>)"
+        ).alias("spans"),
+    )
+    return out.unionByName(empty)

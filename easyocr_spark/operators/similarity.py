@@ -1,0 +1,259 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine-portable determinism: both Spark and the DuckDB oracle compute
+cosine as a LEFT FOLD over the array in index order with double
+arithmetic — identical operation order on identical parquet floats gives
+bit-identical doubles, so ``floor(cos * 1e6)`` (micro-units) matches
+exactly and ranking ties break on integer ids.
+
+- brute_force_topk: the correctness baseline. Query-side is a
+  deterministic subset (vec_id % QUERY_MOD == 0) joined against the
+  full corpus — at 100 TB this is the "small probe set x big corpus"
+  shape: broadcast the queries, scan the corpus once, per-partition
+  partial top-k before the final shuffle (Spark's window does the
+  global k; the partial agg keeps the shuffle tiny).
+- lsh_topk: the scale path — 16 deterministic integer hyperplanes
+  bucket both sides; candidates only within the probe's bucket. Same
+  arithmetic in the oracle (the planes are pure integer formulas), so
+  even the ANN variant is exactly verified.
+- neardup_pairs: all-pairs cosine >= 0.95 (embedding near-dup dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+K = 3
+QUERY_MOD = 20
+N_PLANES = 16
+PLANE_MULT = 2654435761  # Knuth multiplicative constant, portable int math
+NEARDUP_MICRO = 950_000
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cos_micro(a: Column, b: Column) -> Column:
+    return F.floor(
+        _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b)) * F.lit(1_000_000)
+    ).cast("long")
+
+
+def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos_micro): exact top-k cosine
+    neighbors for the deterministic query subset."""
+    queries = embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_micro(F.col("q_emb"), F.col("n_emb")).alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_micro")
+    )
+
+
+def _plane_dot(emb: Column, j: int) -> Column:
+    """Dot with deterministic integer hyperplane j:
+    w[j][d] = ((j*DIM + d) * PLANE_MULT) % 1000 - 500."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda d: (
+                ((F.lit(j) * DIM + d) * F.lit(PLANE_MULT)) % 1000 - 500
+            ).cast("double")
+            * F.element_at(emb, d + 1).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(emb: Column) -> Column:
+    bits = [
+        F.when(_plane_dot(emb, j) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        for j in range(N_PLANES)
+    ]
+    return sum(bits, F.lit(0)).cast("long")
+
+
+def lsh_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
+    """ANN via hyperplane-LSH bucketing: candidates share the query's
+    bucket; exact cosine rank within. Deterministic arithmetic ->
+    exactly reproducible in the oracle (it's approximate vs brute
+    force, but exact vs its own contract)."""
+    with_bucket = embeddings.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    queries = with_bucket.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    corpus = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    scored = (
+        queries.join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_micro(F.col("q_emb"), F.col("n_emb")).alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_micro")
+    )
+
+
+PLANT_OFFSET = 10_000
+
+
+def with_planted_dups(embeddings: DataFrame) -> DataFrame:
+    """The synthetic embeddings have no natural near-dups; plant exact
+    copies (vec_id + PLANT_OFFSET) for every vec_id % 17 == 5 so the
+    near-dup operator has positives to find (same pattern as
+    dedup.with_mutants)."""
+    copies = embeddings.filter(F.col("vec_id") % 17 == 5).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    return embeddings.select("vec_id", "embedding").unionByName(copies)
+
+
+DUCK_PLANTED = f"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding FROM embeddings
+    WHERE vec_id % 17 = 5
+"""
+
+
+def neardup_pairs(embeddings: DataFrame, micro: int = NEARDUP_MICRO) -> DataFrame:
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cos_micro(F.col("ea"), F.col("eb")).alias("cos_micro")
+        )
+        .filter(F.col("cos_micro") >= micro)
+    )
+
+
+# ---------------------------------------------------------------- oracles
+_DUCK_DOT = """
+list_reduce(list_prepend(0.0::DOUBLE,
+  list_transform(range(1, {dim}+1),
+    i -> {a}[CAST(i AS INT)]::DOUBLE * {b}[CAST(i AS INT)]::DOUBLE)),
+  (acc, x) -> acc + x)
+"""
+
+
+def duck_cos_micro(a: str, b: str, dim: int = DIM) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b, dim=dim)
+    na = _DUCK_DOT.format(a=a, b=a, dim=dim)
+    nb = _DUCK_DOT.format(a=b, b=b, dim=dim)
+    return f"CAST(floor(({dot}) / sqrt(({na}) * ({nb})) * 1000000) AS BIGINT)"
+
+
+def duckdb_brute_topk_sql(k: int = K) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             {duck_cos_micro('q_emb', 'e.embedding')} AS cos_micro
+      FROM q, embeddings e WHERE e.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_micro
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def duck_plane_dot(emb: str, j: int, dim: int = DIM) -> str:
+    return f"""
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(0, {dim}),
+        d -> ((({j} * {dim} + d) * {PLANE_MULT}) % 1000 - 500)::DOUBLE
+             * {emb}[CAST(d + 1 AS INT)]::DOUBLE)),
+      (acc, x) -> acc + x)
+    """
+
+
+def duckdb_lsh_topk_sql(k: int = K) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN ({duck_plane_dot('embedding', j)}) >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"""
+    WITH wb AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+                FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM wb
+          WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {duck_cos_micro('q_emb', 'c.embedding')} AS cos_micro
+      FROM q JOIN wb c USING (bucket) WHERE c.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_micro
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def duckdb_neardup_sql(micro: int = NEARDUP_MICRO) -> str:
+    return f"""
+    WITH p AS ({DUCK_PLANTED})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {duck_cos_micro('a.embedding', 'b.embedding')} AS cos_micro
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE {duck_cos_micro('a.embedding', 'b.embedding')} >= {micro}
+    """

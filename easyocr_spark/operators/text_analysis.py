@@ -1,0 +1,199 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only —
+no Python UDFs — so the expressions stay inside whole-stage codegen and
+scale linearly with input splits (narrow, shuffle-free plans).
+
+Each operator has a DuckDB-SQL twin in __spark_entry__.py's oracles;
+the tokenization / regex / arithmetic is chosen to be portable between
+engines (same results bit-for-bit on strings and int64 arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenization, shared contract with the DuckDB oracles
+TOKEN_SPLIT_RE = r"\s+"
+# "BPE-ish" lexer: letter runs, digit runs, single punctuation marks
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ["the", "a", "an", "of", "to", "in", "is", "and", "or", "for"]
+
+# stand-in language marker lists for the n-gram/stopword language-ID
+# heuristic (the reference routes languages by charset membership,
+# easyocr/easyocr.py:106-167 + config.py:30-43; a web-scale text
+# pipeline does it by stopword/trigram evidence)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "le5", "shi4", "zai4", "he2"],
+}
+LANG_ORDER = ["de", "en", "es", "fr", "zh"]  # deterministic tie-break
+
+FP_MOD = 2147483647  # 2^31 - 1; 131-base rolling hash stays in int64
+FP_BASE = 131
+FP_PREFIX = 256  # fingerprint the first N chars (bounds cost per row)
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(text), TOKEN_SPLIT_RE)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace tokens + BPE-ish lexer tokens +
+    char count. All codegen'd string ops."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite bucket, the standard
+    pre-training filter recipe (length / punctuation / stopword ratios).
+    Deterministic integer bucketing so engines agree exactly."""
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    # punctuation chars = everything that is not alnum/whitespace
+    punct = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    avg_len = (F.length(F.regexp_replace("text", r"\s+", "")) * F.lit(1000)) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stopword_hits"),
+        punct.alias("punct_chars"),
+        # milli-units as ints: no float comparisons across engines
+        F.floor(avg_len).cast("long").alias("avg_token_len_milli"),
+        F.floor((stop_hits * F.lit(1000)) / n_tokens).cast("long").alias(
+            "stopword_ratio_milli"
+        ),
+        (
+            F.when(n_tokens < 5, F.lit("too_short"))
+            .when(stop_hits * F.lit(1000) / n_tokens > 500, F.lit("boilerplate"))
+            .otherwise(F.lit("ok"))
+        ).alias("quality_bucket"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-evidence language ID: count marker hits per language,
+    argmax with deterministic (score desc, lang asc) tie-break.
+    Degenerate on the synthetic corpus (shared vocab) but the operator
+    and its oracle are the real contract."""
+    toks = tokens_col(F.col("text"))
+
+    def marker_score(ws: list[str]):
+        # closure helper: F.filter treats a 2-arg lambda as (elem, index),
+        # so the marker list must be captured OUTSIDE the lambda signature
+        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+
+    scores = [marker_score(LANG_MARKERS[lg]).alias(f"score_{lg}") for lg in LANG_ORDER]
+    scored = docs.select("doc_id", "lang", *scores)
+    # argmax via greatest + chained when (first lang in LANG_ORDER wins ties)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_ORDER])
+    pred = F.lit(LANG_ORDER[-1])
+    for lg in reversed(LANG_ORDER[:-1]):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash (base 131 mod 2^31-1) over the first
+    FP_PREFIX chars — a portable document fingerprint computed with
+    higher-order array functions (aggregate over the char codes), no
+    Python. The DuckDB twin folds with list_reduce."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.substring(F.lower("text"), 1, FP_PREFIX))),
+        lambda i: F.ascii(F.substring(F.lower("text"), i, 1)),
+    )
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------- oracles
+def duckdb_token_stats_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars_actual
+    FROM {table}
+    """
+
+
+def duckdb_quality_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '\\s+') AS toks,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS punct,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS ink_chars
+      FROM {table}
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x IN ({stop_list}))) AS stopword_hits,
+           punct AS punct_chars,
+           CAST(floor(ink_chars * 1000 / len(toks)) AS BIGINT) AS avg_token_len_milli,
+           CAST(floor(len(list_filter(toks, x -> x IN ({stop_list}))) * 1000
+                      / len(toks)) AS BIGINT) AS stopword_ratio_milli,
+           CASE WHEN len(toks) < 5 THEN 'too_short'
+                WHEN len(list_filter(toks, x -> x IN ({stop_list}))) * 1000.0
+                     / len(toks) > 500 THEN 'boilerplate'
+                ELSE 'ok' END AS quality_bucket
+    FROM t
+    """
+
+
+def duckdb_lang_id_sql(table: str = "documents") -> str:
+    score_cols = []
+    for lg in LANG_ORDER:
+        ws = ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        score_cols.append(
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            f" x -> x IN ({ws}))) AS score_{lg}"
+        )
+    greatest = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_ORDER) + ")"
+    pred = f"'{LANG_ORDER[-1]}'"
+    for lg in reversed(LANG_ORDER[:-1]):
+        pred = f"CASE WHEN score_{lg} = {greatest} THEN '{lg}' ELSE {pred} END"
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM {table})
+    SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
+           {greatest} AS best_score
+    FROM s
+    """
+
+
+def duckdb_fingerprint_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(range(1, length(substring(lower(text), 1, {FP_PREFIX})) + 1),
+                              i -> ascii(substring(lower(text), CAST(i AS INT), 1))::BIGINT)),
+             (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fingerprint
+    FROM {table}
+    """

@@ -1,0 +1,93 @@
+"""Source scans for the engine.
+
+Production target is an Iceberg catalog (the north rule's 10^12-doc
+table, read with ``spark.read.format("iceberg")`` + snapshot pinning);
+the sandbox has no Iceberg jars, so `read_table` goes through parquet —
+the plan shape (column pruning, predicate pushdown, partition pruning)
+is identical. The Iceberg-specific bits (snapshot id for checkpoint
+lineage) are modeled in state/checkpoint.py.
+
+``interleaved_documents`` derives the input_hint-shaped nested table
+from the driver's flat documents table (see fixtures/corpus.py — the
+derivation is deterministic and DuckDB-reproducible). ``media_table``
+renders the deterministic media fixture once per scale factor and
+caches it as parquet (a stand-in for the real bytes column / object
+store the media_refs would resolve to).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fixtures.corpus import SPARK_INTERLEAVED_SQL, media_spec, render_media
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+CACHE_ROOT = os.environ.get("EASYOCR_SPARK_CACHE", "/tmp/easyocr_spark_cache")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+
+    Pure Catalyst derivation (sequence/transform/filter higher-order
+    functions — no Python UDF), so at scale this is a narrow map over
+    the flat scan: no shuffle, full pushdown.
+    """
+    flat = read_table(spark, sf_dir, "documents")
+    flat.createOrReplaceTempView("_flat_documents")
+    return spark.sql(SPARK_INTERLEAVED_SQL.format(documents="_flat_documents"))
+
+
+def _render_batches(it):
+    for pdf in it:
+        content = [render_media(r) for r in pdf["media_ref"]]
+        langs = [media_spec(r)["lang"] for r in pdf["media_ref"]]
+        yield pd.DataFrame(
+            {"media_ref": pdf["media_ref"], "content": content, "lang": langs}
+        )
+
+
+def media_table(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
+    """media(media_ref string, content binary, lang string).
+
+    Rendered via an Arrow-batched mapInPandas over the distinct
+    media_refs of the derived corpus (executor-parallel, zero per-row
+    Python at the Spark boundary), cached as parquet per scale factor.
+    """
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    cache_path = os.path.join(CACHE_ROOT, sf_name, "media.parquet")
+    if cache and os.path.exists(os.path.join(cache_path, "_SUCCESS")):
+        return spark.read.parquet(cache_path)
+    docs = interleaved_documents(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    media = refs.mapInPandas(
+        _render_batches, schema="media_ref string, content binary, lang string"
+    )
+    if cache:
+        media.write.mode("overwrite").parquet(cache_path)
+        return spark.read.parquet(cache_path)
+    return media

@@ -1,0 +1,103 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY.md §2.9); the streaming surface here
+serves two roles:
+
+1. ``streaming_windowed_counts`` — the streaming twin of the batch
+   windowed aggregation (events.windowed_counts), verified against the
+   SAME DuckDB oracle: a file-source stream with Trigger.AvailableNow,
+   watermark for late data, complete-mode memory sink. Batch/stream
+   parity on results is the contract Structured Streaming promises and
+   the thing worth testing.
+2. ``stream_extract_foreachbatch`` — incremental OCR extraction: each
+   micro-batch of newly-arrived documents runs the SAME batch pipeline
+   (operators/pipeline.py) inside foreachBatch and appends to the sink;
+   Spark's checkpointLocation gives exactly-once file-source progress
+   (complementing the explicit per-partition state table of
+   state/checkpoint.py, which covers the batch-resume axis).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import pipeline
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Run the windowed count as a real streaming query to completion
+    (AvailableNow) and return the final result as a batch DataFrame."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts_tz", watermark)
+        .groupBy(F.window("ts_tz", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.sum("value") * 1000).cast("long").alias("value_sum_milli"),
+        )
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+        "event_type",
+        "n",
+        "value_sum_milli",
+    )
+    # materialize before the memory table goes away
+    result = out.cache()
+    result.count()
+    return result
+
+
+def stream_extract_foreachbatch(
+    spark: SparkSession,
+    docs_path: str,
+    media: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """Incremental extraction over a documents directory: AvailableNow
+    file stream -> foreachBatch(batch extract) -> parquet append.
+    Returns number of micro-batches executed. Re-running with the same
+    checkpoint_dir processes only files not seen before (exactly-once
+    file-source semantics)."""
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(docs_path)
+    n_batches = {"n": 0}
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        extracted = pipeline.extract_documents(batch_df, media)
+        extracted.write.mode("append").parquet(out_dir)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -1,0 +1,133 @@
+import numpy as np
+import pytest
+
+from easyocr_spark.fixtures import corpus, png, render
+from easyocr_spark.ocr import detection
+from easyocr_spark.ocr.grouping import group_text_box, min_size_filter
+from easyocr_spark.ocr.reader import StandInReader, four_point_transform
+from easyocr_spark.ocr.recognition import (
+    adjust_contrast_grey,
+    contrast_grey,
+    recognize_crop,
+    recognize_two_pass,
+)
+
+READER = StandInReader()
+
+
+@pytest.mark.parametrize(
+    "ref", [f"m_{a}_{b}" for a in range(0, 40, 7) for b in (0, 1, 2, 5)]
+)
+def test_end_to_end_ground_truth(ref):
+    img = png.decode_gray(corpus.render_media(ref))
+    assert READER.readtext_text(img) == corpus.ground_truth_text(ref)
+
+
+def test_tiny_image_filtered_by_min_size():
+    img = render.render_tiny()
+    boxes = detection.detect(img)
+    assert len(boxes) == 1  # detected as a component...
+    h, f = group_text_box(boxes)
+    h2, f2 = min_size_filter(h, f)
+    assert h2 == [] and f2 == []  # ...but dropped by the size filter
+    assert READER.readtext_text(img) == ""
+
+
+def test_low_contrast_takes_second_pass():
+    img = render.render_text([["HELLO"]], scale=2, low_contrast=True)
+    text1, conf1 = recognize_crop(img, adjust=False)
+    assert conf1 < 0.1  # pass 1 fails on low contrast
+    text2, conf2 = recognize_two_pass(img)
+    assert text2 == "HELLO" and conf2 > 0.5
+
+
+def test_contrast_adjustment_semantics():
+    img = render.render_text([["SPARK"]], scale=2, low_contrast=True)
+    c1, _, _ = contrast_grey(img)
+    adjusted = adjust_contrast_grey(img)
+    c2, _, _ = contrast_grey(adjusted)
+    assert c2 > c1
+
+
+def test_word_count_matches_detection():
+    for ref in ["m_5_2", "m_11_1", "m_17_4"]:
+        spec = corpus.media_spec(ref)
+        img = png.decode_gray(corpus.render_media(ref))
+        h, f = READER.detect(img)
+        n_words = sum(len(line) for line in spec["lines"])
+        assert len(h) + len(f) == n_words
+
+
+def test_connected_components_labels():
+    mask = np.zeros((6, 10), dtype=bool)
+    mask[1:3, 1:4] = True  # component 1
+    mask[4:6, 6:9] = True  # component 2
+    labels, n = detection.connected_components(mask)
+    assert n == 2
+    assert labels[1, 1] != labels[4, 7]
+    assert (labels[1:3, 1:4] == labels[1, 1]).all()
+
+
+def test_connected_components_u_shape():
+    # U shape: two verticals joined at the bottom — must be ONE component
+    mask = np.zeros((5, 7), dtype=bool)
+    mask[0:5, 1] = True
+    mask[0:5, 5] = True
+    mask[4, 1:6] = True
+    labels, n = detection.connected_components(mask)
+    assert n == 1
+
+
+def test_resize_aspect_ratio_caps_and_pads():
+    img = np.full((100, 3000), 255, dtype=np.uint8)
+    out, ratio = detection.resize_aspect_ratio(img, canvas_size=2560)
+    assert ratio == 2560 / 3000
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    assert out.shape[1] == 2560
+
+
+def test_group_text_box_lines_and_merging():
+    # three boxes: two on one line (close enough to merge), one below
+    def quad(x0, x1, y0, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float32
+        )
+
+    polys = [quad(0, 20, 0, 10), quad(22, 40, 0, 10), quad(0, 20, 30, 40)]
+    merged, free = group_text_box(polys)
+    assert len(free) == 0
+    assert len(merged) == 2  # first two merged (gap 2 < 0.5*10), third alone
+    assert merged[0][1] >= 40  # merged box spans both
+
+
+def test_group_text_box_free_quads():
+    rot = [[10.0, 0.0], [30.0, 8.0], [28.0, 18.0], [8.0, 10.0]]
+    merged, free = group_text_box([np.array(rot)])
+    assert merged == [] and len(free) == 1
+
+
+def test_four_point_transform_identity():
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    quad = np.array([[0, 0], [9, 0], [9, 9], [0, 9]], dtype=np.float64)
+    out = four_point_transform(img, quad)
+    assert out.shape[0] >= 9 and out.shape[1] >= 9
+
+
+def test_beam_decoder_end_to_end():
+    r = StandInReader(decoder="beamsearch")
+    ref = "m_9_1"
+    img = png.decode_gray(corpus.render_media(ref))
+    assert r.readtext_text(img) == corpus.ground_truth_text(ref)
+
+
+def test_dims_formula_matches_render():
+    import duckdb
+
+    con = duckdb.connect()
+    refs = [f"m_{a}_{b}" for a in range(0, 30, 4) for b in (0, 1, 3)]
+    w_expr, h_expr = corpus.duckdb_dims_exprs("ref")
+    sql = f"SELECT ref, {w_expr} AS w, {h_expr} AS h FROM (SELECT UNNEST(?) AS ref)"
+    rows = {r: (w, h) for r, w, h in con.execute(sql, [refs]).fetchall()}
+    for ref in refs:
+        img = png.decode_gray(corpus.render_media(ref))
+        assert rows[ref] == (img.shape[1], img.shape[0]), ref

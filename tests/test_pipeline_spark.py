@@ -1,0 +1,109 @@
+"""Spark-side span-pipeline tests (FIXTURES.md §1 edge classes)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from easyocr_spark.fixtures import corpus
+from easyocr_spark.operators import pipeline
+from easyocr_spark.operators.skew import salted_join
+from easyocr_spark.sources import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return tables.interleaved_documents(spark, SF).cache()
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return tables.media_table(spark, SF)
+
+
+def test_edge_classes_present(docs):
+    pdf = docs.select(
+        "doc_id",
+        F.size("spans").alias("n"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias("nm"),
+    ).toPandas()
+    assert (pdf.n == 0).any(), "empty spans class missing"
+    assert ((pdf.n > 0) & (pdf.nm == 0)).any(), "zero-media class missing"
+    assert ((pdf.n > 0) & (pdf.nm == pdf.n)).any(), "all-media class missing"
+    assert (pdf.nm >= 50).any(), "skew class missing"
+
+
+def test_storage_order_is_rotated(docs):
+    flat = pipeline.explode_spans(docs).filter(F.col("pos") != F.col("offset"))
+    assert flat.count() > 0, "spans should be stored out of offset order"
+
+
+def test_duplicate_media_refs(docs):
+    flat = pipeline.explode_spans(docs).filter(F.col("kind") == "media")
+    dup = flat.groupBy("media_ref").count().filter(F.col("count") > 1)
+    assert dup.count() > 0
+
+
+def test_extract_media_spans_match_ground_truth(docs, media):
+    out = pipeline.extract_spans(docs, media).filter(F.col("kind") == "media")
+    pdf = out.toPandas()
+    for _, row in pdf.sample(n=min(len(pdf), 80), random_state=1).iterrows():
+        assert row["text"] == corpus.ground_truth_text(row["media_ref"]), row[
+            "media_ref"
+        ]
+
+
+def test_extract_text_spans_untouched(docs, media):
+    before = (
+        pipeline.explode_spans(docs)
+        .filter(F.col("kind") == "text")
+        .select("doc_id", "offset", "text")
+    )
+    after = pipeline.extract_spans(docs, media).filter(
+        F.col("kind") == "text"
+    ).select("doc_id", "offset", "text")
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+
+def test_reassembled_offsets_sorted(docs, media):
+    out = pipeline.extract_documents(docs, media)
+    bad = out.select(
+        F.exists(
+            F.zip_with(
+                F.col("spans"),
+                F.slice(F.col("spans"), 2, F.greatest(F.size("spans") - 1, F.lit(1))),
+                lambda a, b: a["offset"] >= b["offset"],
+            ),
+            lambda x: x,
+        ).alias("unsorted")
+    ).filter("unsorted")
+    assert bad.count() == 0
+
+
+def test_reassembled_preserves_doc_count(docs, media):
+    out = pipeline.extract_documents(docs, media)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 50 + ["b"] * 3, "v": range(53)})
+    )
+    small = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "w": [1, 2]}))
+    plain = big.join(small, "k").select("k", "v", "w")
+    salted = salted_join(big, small, "k", n_salts=4).select("k", "v", "w")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_ocr_dedup_runs_each_ref_once(docs, media, spark):
+    spans = pipeline.explode_spans(docs)
+    results = pipeline.ocr_media_refs(spans, media)
+    n_refs = (
+        spans.filter(F.col("kind") == "media").select("media_ref").distinct().count()
+    )
+    assert results.count() == n_refs
+    assert results.select("media_ref").distinct().count() == n_refs
