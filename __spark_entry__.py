@@ -78,6 +78,33 @@ def q_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_ref", "n_boxes")
 
 
+def q_detect_box_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-box detection coordinates in reading order — the boxes are
+    verified numerically against the renderer-geometry oracle."""
+    refs = _distinct_media(spark, sf_dir)
+    det = refs.mapInPandas(udfs.detect_batches, schema=udfs.DETECT_RESULT_SCHEMA)
+    nonempty = det.filter(F.col("n_boxes") > 0)
+    quads = F.transform(
+        F.sequence(F.lit(0), (F.size("boxes") / 4).cast("int") - 1),
+        lambda i: F.struct(
+            F.element_at("boxes", i * 4 + 1).alias("x_min"),
+            F.element_at("boxes", i * 4 + 2).alias("x_max"),
+            F.element_at("boxes", i * 4 + 3).alias("y_min"),
+            F.element_at("boxes", i * 4 + 4).alias("y_max"),
+        ),
+    )
+    return nonempty.select(
+        "media_ref", F.posexplode(quads).alias("box_idx", "q")
+    ).select(
+        "media_ref",
+        "box_idx",
+        F.col("q.x_min").alias("x_min"),
+        F.col("q.x_max").alias("x_max"),
+        F.col("q.y_min").alias("y_min"),
+        F.col("q.y_max").alias("y_max"),
+    )
+
+
 def q_ocr_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, media = _docs_media(spark, sf_dir)
     spans = pipeline.explode_spans(docs)
@@ -189,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "extract_documents_text": q_extract_documents_text,
         "detect_boxes": q_detect_boxes,
+        "detect_box_geometry": q_detect_box_geometry,
         "ocr_results": q_ocr_results,
         "media_dims": q_media_dims,
         "span_stats": q_span_stats,
@@ -241,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_ref, {corpus.duckdb_word_count_expr('media_ref')} AS n_boxes
             FROM ({DUCK_DISTINCT_REFS})
         """,
+        "detect_box_geometry": corpus.duckdb_box_geometry_sql(DUCK_DISTINCT_REFS),
         "ocr_results": f"""
             SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
         """,

@@ -188,16 +188,16 @@ def duckdb_gt_expr(a: str, b: str) -> str:
 
 
 def duckdb_gt_from_ref(ref_col: str) -> str:
-    a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
-    b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    a = f"TRY_CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"TRY_CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
     return duckdb_gt_expr(a, b)
 
 
 def duckdb_word_count_expr(ref_col: str) -> str:
     """Expected number of detected word boxes for a media_ref (0 for the
     tiny class; otherwise total words across lines)."""
-    a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
-    b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    a = f"TRY_CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"TRY_CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
     return f"""
     CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 0
     ELSE CAST(list_sum(list_transform(range(0, ({a} + 2*({b})) % 2 + 1),
@@ -205,12 +205,68 @@ def duckdb_word_count_expr(ref_col: str) -> str:
     END"""
 
 
+def duckdb_box_geometry_sql(refs_sql: str) -> str:
+    """Expected detection boxes per non-tiny media_ref, reading order:
+    (media_ref, box_idx, x_min, x_max, y_min, y_max).
+
+    Mirrors the full geometry chain: renderer layout (render.py) ->
+    half-res score-map quantization (even-aligned, exact) ->
+    group_text_box margin expansion with Python int() truncation
+    (grouping.py _emit: int(x0 - 1.4) truncates toward zero, so the
+    left/top margin is ceil(0.1*h) and the right/bottom margin is
+    floor(0.1*h))."""
+    a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    v = _vocab_sql()
+    return f"""
+    WITH refs AS (
+      SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
+      WHERE (7*{a} + {b}) % 23 <> 0
+    ),
+    geo AS (
+      SELECT media_ref, a, b,
+             (2 + 2*((a + b) % 2)) AS s,
+             ((a + 2*b) % 2 + 1) AS n_lines
+      FROM refs
+    ),
+    lines AS (
+      SELECT media_ref, a, b, s, CAST(L AS BIGINT) AS L,
+             ((a + 3*b + L) % 3 + 1) AS n_w,
+             -- words on previous lines (reading-order box index base)
+             CAST(list_sum(list_prepend(0::BIGINT,
+               list_transform(range(0, CAST(L AS BIGINT)),
+                 P -> (a + 3*b + P) % 3 + 1))) AS BIGINT) AS idx_base
+      FROM geo, UNNEST(range(n_lines)) AS t(L)
+    ),
+    words AS (
+      SELECT media_ref, s, L, idx_base + j AS box_idx,
+             (6 * length(list_extract({v},
+                 CAST((a*31 + b*17 + L*13 + j*7) % 64 + 1 AS INT))) - 1) AS w_ink,
+             CAST(list_sum(list_prepend(0::BIGINT,
+               list_transform(range(0, CAST(j AS BIGINT)), k ->
+                 6 * length(list_extract({v},
+                   CAST((a*31 + b*17 + L*13 + k*7) % 64 + 1 AS INT))) - 1 + 9)))
+               AS BIGINT) AS x_off
+      FROM lines, UNNEST(range(n_w)) AS t(j)
+    )
+    SELECT media_ref,
+           CAST(box_idx AS INT) AS box_idx,
+           CAST((4 + x_off) * s - ((7*s) // 10 + CASE WHEN (7*s) % 10 > 0
+                 THEN 1 ELSE 0 END) AS INT) AS x_min,
+           CAST((4 + x_off + w_ink) * s + (7*s) // 10 AS INT) AS x_max,
+           CAST((4 + L*11) * s - ((7*s) // 10 + CASE WHEN (7*s) % 10 > 0
+                 THEN 1 ELSE 0 END) AS INT) AS y_min,
+           CAST((4 + L*11 + 7) * s + (7*s) // 10 AS INT) AS y_max
+    FROM words
+    """
+
+
 def duckdb_dims_exprs(ref_col: str) -> tuple[str, str]:
     """(width_expr, height_expr) for a media_ref — mirrors the renderer
     geometry (render.py: MARGIN=4, CELL_W=6, GLYPH_H=7, WORD_GAP=8,
     LINE_GAP=4, tiny=16x14)."""
-    a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
-    b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    a = f"TRY_CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"TRY_CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
     scale = f"(2 + 2*(({a} + {b}) % 2))"
     n_lines = f"(({a} + 2*({b})) % 2 + 1)"
     line_w = (

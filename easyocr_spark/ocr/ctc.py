@@ -49,6 +49,46 @@ def decode_greedy(probs: np.ndarray, charset: str) -> tuple[str, float]:
     return text, custom_mean(confs)
 
 
+def edit_distance(a: str, b: str) -> int:
+    """Levenshtein distance (used by word-beam dictionary re-rank, the
+    role of the reference's wordsearch top-k candidate match,
+    easyocr/utils.py:352-384)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def word_beam_search(
+    probs: np.ndarray,
+    charset: str,
+    dictionary: list[str],
+    beam_width: int = 5,
+    max_dist: int = 2,
+) -> tuple[str, float]:
+    """Dictionary-constrained decode: beam-search the segment, then
+    re-rank against the word dictionary (reference decode_wordbeamsearch,
+    easyocr/utils.py:352-384: per-word-segment beam search with dict).
+    If the beam output is within max_dist edits of a dictionary word,
+    snap to the closest word (ties: first in dictionary order)."""
+    text, p = ctc_beam_search(probs, charset, beam_width)
+    if not text or text in dictionary:
+        return text, p
+    best, bd = None, max_dist + 1
+    for w in dictionary:
+        d = edit_distance(text, w)
+        if d < bd:
+            best, bd = w, d
+    if best is not None:
+        return best, p
+    return text, p
+
+
 def ctc_beam_search(
     probs: np.ndarray, charset: str, beam_width: int = 5
 ) -> tuple[str, float]:

@@ -5,10 +5,18 @@ API mirror of the reference's Reader (reference easyocr/easyocr.py):
 - ``detect(gray)`` -> (horizontal_list, free_list)   (:311-351)
 - ``recognize(gray, horizontal_list, free_list)`` -> [(box, text, conf)]
   (:353-438) — crops in reading order (top-to-bottom lines, left-to-
-  right words), two-pass contrast retry, greedy/beam decoder switch.
+  right words), two-pass contrast retry, greedy/beam/wordbeam decoder
+  switch, allowlist/blocklist masking, rotation TTA.
 - ``readtext(gray)`` = detect ∘ recognize             (:440-474)
 - ``readtext_text`` — the projection our span pipeline uses: non-empty
   texts joined by single spaces in reading order.
+
+The detect stage is pluggable ('craft' score-map strategy or
+'projection' profile strategy — the reference's CRAFT/DBNet switch,
+easyocr/easyocr.py:235-268). Rotation TTA mirrors
+make_rotated_img_list + set_result_with_confidence
+(easyocr/utils.py:802-835): each crop is additionally decoded at the
+listed rotations and the highest-confidence variant wins.
 
 This module is pure numpy and Spark-free so it can be unit-tested
 standalone and imported inside Arrow UDF workers (the "weights" — the
@@ -20,9 +28,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import detection
+from . import detection, detection_projection
 from .grouping import group_text_box, min_size_filter
-from .recognition import recognize_two_pass
+from .paragraph import get_paragraph
+from .recognition import build_ignore_mask, recognize_two_pass
 
 MIN_SIZE = 10
 
@@ -36,7 +45,6 @@ def four_point_transform(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
     w = int(max(np.linalg.norm(br - bl), np.linalg.norm(tr - tl)))
     h = int(max(np.linalg.norm(tr - br), np.linalg.norm(tl - bl)))
     w, h = max(w, 1), max(h, 1)
-    # bilinear interpolation of the quad edges: x(u,v) etc.
     us = (np.arange(w) + 0.5) / w
     vs = (np.arange(h) + 0.5) / h
     u, v = np.meshgrid(us, vs)
@@ -54,23 +62,52 @@ class StandInReader:
     reference easyocr/easyocr.py:106-167). The stand-in has one glyph
     atlas, so lang only tags results."""
 
-    def __init__(self, lang_list: list[str] | None = None, decoder: str = "greedy"):
+    def __init__(
+        self,
+        lang_list: list[str] | None = None,
+        decoder: str = "greedy",
+        detect_network: str = "craft",
+        allowlist: str | None = None,
+        blocklist: str | None = None,
+    ):
         self.lang_list = lang_list or ["latin"]
         self.decoder = decoder
+        self.detect_network = detect_network
+        self.ignore = build_ignore_mask(allowlist, blocklist)
 
     def detect(
         self, gray: np.ndarray, min_size: int = MIN_SIZE
     ) -> tuple[list[list[int]], list[list[list[float]]]]:
-        boxes = detection.detect(gray)
+        if self.detect_network == "projection":
+            boxes = detection_projection.detect(gray)
+        else:
+            boxes = detection.detect(gray)
         horizontal, free = group_text_box(boxes)
         return min_size_filter(horizontal, free, min_size)
+
+    def _decode_crop(
+        self, crop: np.ndarray, rotation_info: list[int] | None
+    ) -> tuple[str, float]:
+        text, conf = recognize_two_pass(
+            crop, decoder=self.decoder, ignore=self.ignore
+        )
+        for rot in rotation_info or []:
+            rotated = np.rot90(crop, k=rot // 90)
+            t2, c2 = recognize_two_pass(
+                rotated, decoder=self.decoder, ignore=self.ignore
+            )
+            if c2 > conf:
+                text, conf = t2, c2
+        return text, conf
 
     def recognize(
         self,
         gray: np.ndarray,
         horizontal_list: list[list[int]],
         free_list: list[list[list[float]]],
-    ) -> list[tuple[list, str, float]]:
+        rotation_info: list[int] | None = None,
+        paragraph: bool = False,
+    ) -> list:
         h, w = gray.shape
         results: list[tuple[list, str, float]] = []
         # horizontal boxes are already in reading order from grouping;
@@ -81,18 +118,28 @@ class StandInReader:
             crop = gray[y0c : min(h, y1), x0c : min(w, x1)]
             if crop.size == 0:
                 continue
-            text, conf = recognize_two_pass(crop, decoder=self.decoder)
+            text, conf = self._decode_crop(crop, rotation_info)
             box = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
             results.append((box, text, conf))
         for quad in free_list:
             crop = four_point_transform(gray, np.asarray(quad))
-            text, conf = recognize_two_pass(crop, decoder=self.decoder)
+            text, conf = self._decode_crop(crop, rotation_info)
             results.append(([list(p) for p in quad], text, conf))
+        if paragraph:
+            mode = "rtl" if "arabic" in self.lang_list else "ltr"
+            return get_paragraph(results, mode=mode)
         return results
 
-    def readtext(self, gray: np.ndarray) -> list[tuple[list, str, float]]:
+    def readtext(
+        self,
+        gray: np.ndarray,
+        rotation_info: list[int] | None = None,
+        paragraph: bool = False,
+    ) -> list:
         horizontal, free = self.detect(gray)
-        return self.recognize(gray, horizontal, free)
+        return self.recognize(
+            gray, horizontal, free, rotation_info=rotation_info, paragraph=paragraph
+        )
 
     def readtext_text(self, gray: np.ndarray) -> str:
         """Reading-order concatenation — the span-text projection."""

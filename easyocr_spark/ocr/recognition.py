@@ -31,7 +31,13 @@ from __future__ import annotations
 import numpy as np
 
 from ..fixtures.fonts import CHARSET, GLYPH_H, GLYPH_W, TEMPLATES
-from .ctc import ctc_beam_search, custom_mean, decode_greedy, greedy_collapse
+from .ctc import (
+    ctc_beam_search,
+    custom_mean,
+    decode_greedy,
+    greedy_collapse,
+    word_beam_search,
+)
 
 CONTRAST_THS = 0.1  # reference easyocr/easyocr.py:353 default
 ADJUST_CONTRAST = 0.5  # reference default target passed to pass 2
@@ -165,13 +171,16 @@ def recognize_crop(
     words: list[str] = []
     all_confs: list[np.ndarray] = []
     for segs in chunks:
-        probs = _frames_for_chunk(base, segs)
+        probs = _apply_ignore(_frames_for_chunk(base, segs), ignore)
         if decoder == "beamsearch":
             text, _ = ctc_beam_search(probs, CHARSET)
-            _, confs = greedy_collapse(probs)
+        elif decoder == "wordbeamsearch":
+            from ..fixtures.corpus import VOCAB  # the stand-in word dict
+
+            text, _ = word_beam_search(probs, CHARSET, VOCAB)
         else:
             text, _ = decode_greedy(probs, CHARSET)
-            _, confs = greedy_collapse(probs)
+        _, confs = greedy_collapse(probs)
         if text:
             words.append(text)
         all_confs.append(confs)
@@ -180,14 +189,17 @@ def recognize_crop(
 
 
 def recognize_two_pass(
-    crop: np.ndarray, decoder: str = "greedy", contrast_ths: float = CONTRAST_THS
+    crop: np.ndarray,
+    decoder: str = "greedy",
+    contrast_ths: float = CONTRAST_THS,
+    ignore: np.ndarray | None = None,
 ) -> tuple[str, float]:
     """get_text's two-pass orchestration (reference
     easyocr/recognition.py:186-233): retry low-confidence crops with
     contrast adjustment, keep the better result."""
-    text1, conf1 = recognize_crop(crop, adjust=False, decoder=decoder)
+    text1, conf1 = recognize_crop(crop, adjust=False, decoder=decoder, ignore=ignore)
     if conf1 < contrast_ths:
-        text2, conf2 = recognize_crop(crop, adjust=True, decoder=decoder)
+        text2, conf2 = recognize_crop(crop, adjust=True, decoder=decoder, ignore=ignore)
         if conf2 > conf1:
             return text2, conf2
     return text1, conf1

@@ -39,6 +39,19 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or cpus
+    # one BLAS/OMP thread per Python worker: Spark tasks are the
+    # parallelism; N workers x N BLAS threads would oversubscribe the
+    # box quadratically (the reference's analogue: DataParallel/OpenMP
+    # inside torch, SURVEY.md §4 O7). Must be set before the JVM (and
+    # its python daemons) inherit the environment.
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -49,9 +62,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # measured: without explicit reuse, every task forks a fresh
+        # Python worker (~0.3 core-s import tax); at high partition
+        # counts that tax dominated the OCR stage
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -43,14 +43,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(path).createOrReplaceTempView(t)
 
 
-def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+REPLICA_STRIDE = 500_000
+
+
+def interleaved_documents(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
     """documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
 
     Pure Catalyst derivation (sequence/transform/filter higher-order
     functions — no Python UDF), so at scale this is a narrow map over
     the flat scan: no shuffle, full pushdown.
+
+    ``replicate`` > 1 deterministically scales the corpus (doc_id
+    shifted by REPLICA_STRIDE per replica; every derived quantity is a
+    pure function of the shifted id) — used by the scaling bench so
+    throughput dominates fixed stage latency. Correctness queries always
+    use replicate=1 (the oracle's corpus).
     """
     flat = read_table(spark, sf_dir, "documents")
+    if replicate > 1:
+        from pyspark.sql import functions as F
+
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        flat = flat.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
+            "text",
+        ).repartition(spark.sparkContext.defaultParallelism)
     flat.createOrReplaceTempView("_flat_documents")
     return spark.sql(SPARK_INTERLEAVED_SQL.format(documents="_flat_documents"))
 
@@ -64,7 +83,9 @@ def _render_batches(it):
         )
 
 
-def media_table(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
+def media_table(
+    spark: SparkSession, sf_dir: str, cache: bool = True, replicate: int = 1
+) -> DataFrame:
     """media(media_ref string, content binary, lang string).
 
     Rendered via an Arrow-batched mapInPandas over the distinct
@@ -72,10 +93,11 @@ def media_table(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFra
     Python at the Spark boundary), cached as parquet per scale factor.
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    cache_path = os.path.join(CACHE_ROOT, sf_name, "media.parquet")
+    suffix = f"media_x{replicate}.parquet" if replicate > 1 else "media.parquet"
+    cache_path = os.path.join(CACHE_ROOT, sf_name, suffix)
     if cache and os.path.exists(os.path.join(cache_path, "_SUCCESS")):
         return spark.read.parquet(cache_path)
-    docs = interleaved_documents(spark, sf_dir)
+    docs = interleaved_documents(spark, sf_dir, replicate=replicate)
     from pyspark.sql import functions as F
 
     refs = (

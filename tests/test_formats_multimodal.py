@@ -1,0 +1,106 @@
+"""Output formats, CLI smoke, multimodal kernels."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from easyocr_spark.fixtures import corpus
+from easyocr_spark.ocr import udfs
+from easyocr_spark.operators import formats, pipeline
+from easyocr_spark.sources import multimodal, tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ocr_results(spark):
+    docs = tables.interleaved_documents(spark, SF).limit(40)
+    media = tables.media_table(spark, SF)
+    spans = pipeline.explode_spans(docs)
+    refs = spans.filter(F.col("kind") == "media").select("media_ref").distinct()
+    with_bytes = refs.join(media, "media_ref", "inner")
+    det = with_bytes.mapInPandas(
+        udfs.ocr_batches, schema=udfs.OCR_RESULT_SCHEMA
+    ).withColumn("boxes", F.array().cast("array<int>"))
+    return det.cache()
+
+
+def test_format_standard_and_text(ocr_results):
+    std = formats.format_standard(ocr_results).toPandas()
+    assert {"media_ref", "result"} == set(std.columns)
+    assert "text" in dict(std.iloc[0]["result"])
+    txt = formats.format_text_only(ocr_results).toPandas()
+    for _, row in txt.iterrows():
+        assert row["text"] == corpus.ground_truth_text(row["media_ref"])
+
+
+def test_format_json_roundtrip(ocr_results):
+    js = formats.format_json(ocr_results).toPandas()
+    parsed = json.loads(js.iloc[0]["result"])
+    assert "text" in parsed and "confident" in parsed
+
+
+def test_format_dict(ocr_results):
+    d = formats.format_dict(ocr_results).toPandas()
+    assert "text" in d.iloc[0]["result"]
+
+
+def test_image_features_kernel(spark):
+    media = tables.media_table(spark, SF).limit(30)
+    feats = media.mapInPandas(
+        multimodal.image_features, schema=multimodal.IMAGE_META_SCHEMA
+    ).toPandas()
+    assert (feats.width > 0).all() and (feats.height > 0).all()
+    assert (feats.ink_ratio_milli >= 0).all()
+
+
+def test_image_resizer_kernel(spark):
+    media = tables.media_table(spark, SF).limit(20)
+    resized = media.mapInPandas(
+        multimodal.make_image_resizer(64), schema=multimodal.RESIZE_SCHEMA
+    ).toPandas()
+    assert (resized[["width", "height"]].max(axis=1) <= 64).all()
+
+
+def test_audio_metadata_kernel(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_ref": ["a_1", "a_2"],
+            "content": [
+                multimodal.synth_wav(16000, 32000),
+                multimodal.synth_wav(8000, 8000),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.mapInPandas(
+        multimodal.audio_metadata, schema=multimodal.AUDIO_META_SCHEMA
+    ).toPandas()
+    got = dict(zip(out.media_ref, zip(out.sample_rate, out.duration_ms)))
+    assert got["a_1"] == (16000, 2000)
+    assert got["a_2"] == (8000, 1000)
+
+
+def test_video_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.video_frame_sample(None)
+
+
+def test_cli_smoke(spark, tmp_path):
+    from easyocr_spark import cli
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            "--sf-dir", SF,
+            "--output", out,
+            "--state", state,
+            "--n-units", "4",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 500
