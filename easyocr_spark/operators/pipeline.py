@@ -85,24 +85,37 @@ def ocr_media_refs(
 
 def extract_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
     """Flat extracted spans: media text filled in, text spans untouched.
-    Output columns: doc_id, offset, kind, text, media_ref."""
+    Output columns: doc_id, offset, kind, text, media_ref.
+
+    Single-pass shape: ONE scan of the exploded spans, left-joined to
+    the (small) per-ref OCR results; a CASE picks the OCR text for
+    media spans. The earlier split-into-two-branches + union recomputed
+    the span derivation twice and doubled the data volume. The join key
+    is nulled for text spans so they never shuffle-collide on the ''
+    hot key; at test scale AQE broadcasts the results side and the
+    spans never shuffle at all. (At 10^12-doc scale with an
+    unbroadcastable results table, the split/union + salted join in
+    skew.py is the fallback — see operators/skew.py.)
+    """
     spans = explode_spans(docs)
     results = ocr_media_refs(spans, media).select(
-        "media_ref", F.col("text").alias("ocr_text")
+        F.col("media_ref").alias("r_ref"), F.col("text").alias("ocr_text")
     )
-    media_spans = (
-        spans.filter(F.col("kind") == "media")
-        .join(results, "media_ref", "left")
+    join_key = F.when(F.col("kind") == "media", F.col("media_ref"))
+    return (
+        spans.join(results, join_key == F.col("r_ref"), "left")
         .select(
             "doc_id",
             "offset",
             "kind",
-            F.coalesce("ocr_text", F.lit("")).alias("text"),
+            F.when(
+                F.col("kind") == "media", F.coalesce("ocr_text", F.lit(""))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
             "media_ref",
         )
     )
-    text_spans = spans.filter(F.col("kind") == "text").select(*SPAN_COLS)
-    return media_spans.select(*SPAN_COLS).unionByName(text_spans)
 
 
 def reassemble(extracted_spans: DataFrame) -> DataFrame:
@@ -118,13 +131,18 @@ def reassemble(extracted_spans: DataFrame) -> DataFrame:
 def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
     """Full pipeline: nested in, nested out — every media span's text
     replaced by its recognized string, order restored by offset.
-    Documents with empty span arrays are preserved (left join)."""
+    Documents with empty span arrays are preserved by re-attaching the
+    doc_id spine with a left join (doc-grain, co-partitioned with the
+    reassembly's groupBy output — no extra full-data pass)."""
     out = reassemble(extract_spans(docs, media))
-    empty = docs.filter(F.size("spans") == 0).select(
+    spine = docs.select("doc_id")
+    return spine.join(out, "doc_id", "left").select(
         "doc_id",
-        F.expr(
-            "CAST(array() AS array<struct<offset:int,kind:string,"
-            "text:string,media_ref:string>>)"
+        F.coalesce(
+            "spans",
+            F.expr(
+                "CAST(array() AS array<struct<offset:int,kind:string,"
+                "text:string,media_ref:string>>)"
+            ),
         ).alias("spans"),
     )
-    return out.unionByName(empty)
