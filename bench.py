@@ -47,9 +47,19 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
 
     timings: dict[str, float] = {}
 
+    def checksum(df) -> int:
+        # count() is NOT a safe benchmark action: Catalyst prunes
+        # row-count-preserving subtrees (e.g. a left join on aggregate
+        # keys elides the entire build side). Hash every column so the
+        # full plan must execute.
+        row = df.select(
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+        ).collect()
+        return row[0]["h"] or 0
+
     def timed(name: str, df_fn) -> None:
         t0 = time.time()
-        df_fn().count()
+        checksum(df_fn())
         timings[name] = round(time.time() - t0, 3)
 
     # flagship: full OCR extraction (explode -> dedup refs -> join bytes

@@ -82,11 +82,19 @@ def media_spec(media_ref: str) -> dict:
 def ground_truth_text(media_ref: str) -> str:
     """Expected OCR output for a media_ref — reading order, words joined
     by single spaces, lines top-to-bottom (the reference's output order
-    guarantee: easyocr/utils.py:482-483, :621-622)."""
+    guarantee: easyocr/utils.py:482-483, :621-622).
+
+    Arabic-tagged media (a % 3 == 2) reads right-to-left within each
+    line — the stand-in for the reference's bidi display reordering
+    (easyocr/easyocr.py:414-418), which changes the output string itself
+    and is therefore part of span equality."""
     spec = media_spec(media_ref)
     if spec["tiny"]:
         return ""
-    return " ".join(w for line in spec["lines"] for w in line)
+    rtl = spec["lang"] == "arabic"
+    return " ".join(
+        w for line in spec["lines"] for w in (reversed(line) if rtl else line)
+    )
 
 
 def render_media(media_ref: str) -> bytes:
@@ -177,13 +185,14 @@ def _vocab_sql() -> str:
 def duckdb_gt_expr(a: str, b: str) -> str:
     """DuckDB SQL expression computing ground_truth_text() for parsed
     media_ref ints ``a``/``b`` (column/expression strings)."""
+    line = f"""list_transform(range(0, (({a}) + 3*({b}) + L) % 3 + 1), j ->
+          list_extract({_vocab_sql()},
+            CAST((({a})*31 + ({b})*17 + L*13 + j*7) % 64 + 1 AS INT)))"""
     return f"""
     CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN ''
     ELSE array_to_string(flatten(
       list_transform(range(0, ({a} + 2*({b})) % 2 + 1), L ->
-        list_transform(range(0, (({a}) + 3*({b}) + L) % 3 + 1), j ->
-          list_extract({_vocab_sql()},
-            CAST((({a})*31 + ({b})*17 + L*13 + j*7) % 64 + 1 AS INT))))), ' ')
+        CASE WHEN ({a}) % 3 = 2 THEN list_reverse({line}) ELSE {line} END)), ' ')
     END"""
 
 

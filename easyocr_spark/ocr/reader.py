@@ -141,6 +141,21 @@ class StandInReader:
             gray, horizontal, free, rotation_info=rotation_info, paragraph=paragraph
         )
 
-    def readtext_text(self, gray: np.ndarray) -> str:
-        """Reading-order concatenation — the span-text projection."""
-        return " ".join(t for _, t, _ in self.readtext(gray) if t)
+    def readtext_text(self, gray: np.ndarray, rtl: bool = False) -> str:
+        """Reading-order concatenation — the span-text projection.
+        ``rtl`` reverses word order within each line (the bidi display
+        reordering stand-in, reference easyocr/easyocr.py:414-418 —
+        applied when the routed language is Arabic)."""
+        results = [(b, t) for b, t, _ in self.readtext(gray) if t]
+        if not rtl:
+            return " ".join(t for _, t in results)
+        # group consecutive results into lines by top-y, reverse within
+        lines: list[list[str]] = []
+        last_y = None
+        for box, text in results:
+            y0 = box[0][1]
+            if last_y is None or y0 != last_y:
+                lines.append([])
+                last_y = y0
+            lines[-1].append(text)
+        return " ".join(t for line in lines for t in reversed(line))

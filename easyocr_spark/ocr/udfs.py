@@ -39,18 +39,35 @@ def get_reader() -> StandInReader:
 
 
 def ocr_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (media_ref, content) -> OCR_RESULT_SCHEMA."""
+    """mapInPandas kernel: (media_ref, content[, lang]) ->
+    OCR_RESULT_SCHEMA. The lang column routes RTL post-processing
+    (Arabic word order within lines — the reference's bidi reordering,
+    easyocr/easyocr.py:414-418)."""
     reader = get_reader()
     for pdf in it:
         texts: list[str] = []
         confs: list[float] = []
         n_boxes: list[int] = []
-        for data in pdf["content"]:
+        langs = pdf["lang"] if "lang" in pdf.columns else [""] * len(pdf)
+        for data, lang in zip(pdf["content"], langs):
             img = decode_gray(bytes(data))
             results = reader.readtext(img)
-            kept = [(t, c) for _, t, c in results if t]
-            texts.append(" ".join(t for t, _ in kept))
-            confs.append(min((c for _, c in kept), default=0.0))
+            kept = [(b, t, c) for b, t, c in results if t]
+            if lang == "arabic":
+                lines: list[list[str]] = []
+                last_y = None
+                for box, t, _ in kept:
+                    y0 = box[0][1]
+                    if last_y is None or y0 != last_y:
+                        lines.append([])
+                        last_y = y0
+                    lines[-1].append(t)
+                texts.append(
+                    " ".join(t for line in lines for t in reversed(line))
+                )
+            else:
+                texts.append(" ".join(t for _, t, _ in kept))
+            confs.append(min((c for _, _, c in kept), default=0.0))
             n_boxes.append(len(results))
         yield pd.DataFrame(
             {

@@ -20,7 +20,21 @@ READER = StandInReader()
 )
 def test_end_to_end_ground_truth(ref):
     img = png.decode_gray(corpus.render_media(ref))
-    assert READER.readtext_text(img) == corpus.ground_truth_text(ref)
+    rtl = corpus.media_spec(ref)["lang"] == "arabic"
+    assert READER.readtext_text(img, rtl=rtl) == corpus.ground_truth_text(ref)
+
+
+def test_rtl_reverses_words_within_lines():
+    ref = "m_2_1"  # a % 3 == 2 -> arabic routing
+    spec = corpus.media_spec(ref)
+    assert spec["lang"] == "arabic"
+    img = png.decode_gray(corpus.render_media(ref))
+    ltr = READER.readtext_text(img, rtl=False)
+    rtl = READER.readtext_text(img, rtl=True)
+    assert rtl == corpus.ground_truth_text(ref)
+    # per-line reversal, not global: multi-word lines change order
+    if any(len(line) > 1 for line in spec["lines"]):
+        assert ltr != rtl
 
 
 def test_tiny_image_filtered_by_min_size():

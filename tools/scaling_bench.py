@@ -29,14 +29,19 @@ from easyocr_spark.sources import tables
 from easyocr_spark.operators import pipeline
 spark = get_spark(cpus=%(cpus)d)
 sf = %(sf)r
+from pyspark.sql import functions as F
 docs = tables.interleaved_documents(spark, sf, replicate=%(rep)d)
 media = tables.media_table(spark, sf, replicate=%(rep)d)
 media.count()
 n_docs = docs.count()
 # warm-up: JVM codegen + python workers
 pipeline.ocr_media_refs(pipeline.explode_spans(docs.limit(64)), media).count()
+def checksum(df):
+    # full-plan-forcing action (count() lets Catalyst prune subtrees)
+    return df.select(F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+                     ).collect()[0][0]
 t = time.time()
-pipeline.extract_documents(docs, media).count()
+checksum(pipeline.extract_documents(docs, media))
 wall = time.time() - t
 print("RESULT::" + json.dumps({"cpus": %(cpus)d, "wall": round(wall, 2),
                                "n_docs": n_docs,
