@@ -116,6 +116,31 @@ def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refs.mapInPandas(udfs.dims_batches, schema=udfs.DIMS_RESULT_SCHEMA)
 
 
+def q_ocr_results_beamsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTC prefix beam-search decode path — same output contract as the
+    greedy path on clean renders (reference easyocr/utils.py:181-270)."""
+    refs = _distinct_media(spark, sf_dir)
+    return refs.mapInPandas(
+        udfs.make_ocr_batches("beamsearch"), schema=udfs.OCR_RESULT_SCHEMA
+    ).select("media_ref", "text")
+
+
+def q_ocr_results_wordbeam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-constrained word-beam decode (reference
+    easyocr/utils.py:352-384); the fixture vocabulary is the dict."""
+    refs = _distinct_media(spark, sf_dir)
+    return refs.mapInPandas(
+        udfs.make_ocr_batches("wordbeamsearch"), schema=udfs.OCR_RESULT_SCHEMA
+    ).select("media_ref", "text")
+
+
+def q_ocr_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = _distinct_media(spark, sf_dir)
+    return refs.mapInPandas(
+        udfs.paragraph_batches, schema=udfs.PARAGRAPH_RESULT_SCHEMA
+    )
+
+
 def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.interleaved_documents(spark, sf_dir)
     spans = pipeline.explode_spans(docs)
@@ -202,6 +227,10 @@ def q_events_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.top_event_types(tables.read_table(spark, sf_dir, "events"))
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.asof_prior_event(tables.read_table(spark, sf_dir, "events"))
+
+
 # ------------------------------------------------------------------ entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline at sf0.001."""
@@ -218,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_boxes": q_detect_boxes,
         "detect_box_geometry": q_detect_box_geometry,
         "ocr_results": q_ocr_results,
+        "ocr_results_beamsearch": q_ocr_results_beamsearch,
+        "ocr_results_wordbeam": q_ocr_results_wordbeam,
+        "ocr_paragraphs": q_ocr_paragraphs,
         "media_dims": q_media_dims,
         "span_stats": q_span_stats,
         "media_ref_usage": q_media_ref_usage,
@@ -235,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
         "events_top_types": q_events_top_types,
+        "events_asof": q_events_asof,
     }
 
 
@@ -273,6 +306,18 @@ def oracle_sql() -> dict[str, str]:
         "ocr_results": f"""
             SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
         """,
+        "ocr_results_beamsearch": f"""
+            SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
+        """,
+        "ocr_results_wordbeam": f"""
+            SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
+        """,
+        "ocr_paragraphs": f"""
+            SELECT media_ref,
+                   CASE WHEN {gt} = '' THEN 0 ELSE 1 END AS n_paragraphs,
+                   {gt} AS text
+            FROM ({DUCK_DISTINCT_REFS})
+        """,
         "media_dims": f"""
             SELECT media_ref, {wexpr} AS width, {hexpr} AS height
             FROM ({DUCK_DISTINCT_REFS})
@@ -303,4 +348,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": events.duckdb_sessionize_sql(),
         "events_windowed": events.duckdb_windowed_sql(),
         "events_top_types": events.duckdb_top_event_types_sql(),
+        "events_asof": events.duckdb_asof_sql(),
     }

@@ -53,7 +53,7 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         # keys elides the entire build side). Hash every column so the
         # full plan must execute.
         row = df.select(
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
         ).collect()
         return row[0]["h"] or 0
 

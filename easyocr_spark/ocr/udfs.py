@@ -28,22 +28,37 @@ from .reader import StandInReader
 
 OCR_RESULT_SCHEMA = "media_ref string, text string, conf double, n_boxes int"
 
-_READER: StandInReader | None = None
+_READERS: dict[str, StandInReader] = {}
 
 
-def get_reader() -> StandInReader:
-    global _READER
-    if _READER is None:
-        _READER = StandInReader()
-    return _READER
+def get_reader(decoder: str = "greedy") -> StandInReader:
+    """Executor-resident singleton per decoder config (the reference's
+    one-Reader-per-config pattern, easyocr/easyocr.py:214-233)."""
+    if decoder not in _READERS:
+        _READERS[decoder] = StandInReader(decoder=decoder)
+    return _READERS[decoder]
+
+
+def make_ocr_batches(decoder: str):
+    """Kernel factory for non-default decoders (beamsearch /
+    wordbeamsearch, reference easyocr/utils.py:181-384)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _ocr_batches_impl(it, decoder)
+
+    return kernel
 
 
 def ocr_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    return _ocr_batches_impl(it, "greedy")
+
+
+def _ocr_batches_impl(it: Iterator[pd.DataFrame], decoder: str) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (media_ref, content[, lang]) ->
     OCR_RESULT_SCHEMA. The lang column routes RTL post-processing
     (Arabic word order within lines — the reference's bidi reordering,
     easyocr/easyocr.py:414-418)."""
-    reader = get_reader()
+    reader = get_reader(decoder)
     for pdf in it:
         texts: list[str] = []
         confs: list[float] = []
@@ -101,6 +116,35 @@ def detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 DETECT_RESULT_SCHEMA = "media_ref string, n_boxes int, boxes array<int>"
+
+
+PARAGRAPH_RESULT_SCHEMA = "media_ref string, n_paragraphs int, text string"
+
+
+def paragraph_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Paragraph-mode OCR (reference paragraph=True path,
+    easyocr/easyocr.py:422-423 + utils.py:643-709): per image, grouped
+    paragraphs with reading-order concat; RTL mode for arabic-routed
+    media."""
+    reader = get_reader()
+    for pdf in it:
+        n_out: list[int] = []
+        texts: list[str] = []
+        langs = pdf["lang"] if "lang" in pdf.columns else [""] * len(pdf)
+        for data, lang in zip(pdf["content"], langs):
+            img = decode_gray(bytes(data))
+            horizontal, free = reader.detect(img)
+            from .paragraph import get_paragraph
+
+            results = reader.recognize(img, horizontal, free)
+            paras = get_paragraph(
+                results, mode="rtl" if lang == "arabic" else "ltr"
+            )
+            n_out.append(len(paras))
+            texts.append(" ".join(t for _, t in paras))
+        yield pd.DataFrame(
+            {"media_ref": pdf["media_ref"], "n_paragraphs": n_out, "text": texts}
+        )
 
 
 def dims_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

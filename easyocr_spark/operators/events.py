@@ -98,6 +98,52 @@ def duckdb_windowed_sql(minutes: int = WINDOW_MIN) -> str:
     """
 
 
+def asof_prior_event(
+    events: DataFrame, probe_type: str = "click", ref_type: str = "view"
+) -> DataFrame:
+    """As-of join within one stream: for each ``probe_type`` event,
+    the timestamp of the latest earlier-or-equal ``ref_type`` event by
+    the same user. Spark lacks a native as-of join (guide §patterns);
+    the scalable formulation is a single window pass — carry the last
+    ref-event timestamp forward over the user's timeline (one shuffle
+    on user_id, no range self-join blow-up)."""
+    epoch_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = events.withColumn(
+        "prior_ref_ms",
+        F.last(
+            F.when(F.col("event_type") == ref_type, epoch_ms), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == probe_type).select(
+        "event_id",
+        "user_id",
+        epoch_ms.alias("ts_ms"),
+        F.coalesce("prior_ref_ms", F.lit(-1)).alias("prior_view_ms"),
+    )
+
+
+def duckdb_asof_sql(probe_type: str = "click", ref_type: str = "view") -> str:
+    return f"""
+    WITH carried AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+             last_value(CASE WHEN event_type = '{ref_type}'
+                             THEN epoch_ms(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prior_ref_ms
+      FROM events
+    )
+    SELECT event_id, user_id, ts_ms,
+           coalesce(prior_ref_ms, -1) AS prior_view_ms
+    FROM carried WHERE event_type = '{probe_type}'
+    """
+
+
 def top_event_types(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k event types per user by count — the top-k-per-group
     pattern (partial agg + window)."""

@@ -37,8 +37,9 @@ n_docs = docs.count()
 # warm-up: JVM codegen + python workers
 pipeline.ocr_media_refs(pipeline.explode_spans(docs.limit(64)), media).count()
 def checksum(df):
-    # full-plan-forcing action (count() lets Catalyst prune subtrees)
-    return df.select(F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+    # full-plan-forcing action (count() lets Catalyst prune subtrees);
+    # bit_xor, not sum: ANSI mode makes a long sum overflow
+    return df.select(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
                      ).collect()[0][0]
 t = time.time()
 checksum(pipeline.extract_documents(docs, media))
