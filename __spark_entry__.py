@@ -28,6 +28,13 @@ from easyocr_spark.sources import tables
 
 
 # --------------------------------------------------------------- helpers
+def _ensure_conf(spark: SparkSession) -> None:
+    """The driver may hand us a session it built itself; pin the
+    runtime-settable confs our oracles assume (UTC so timestamp->epoch
+    matches DuckDB's UTC-naive timestamps)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _docs_media(spark: SparkSession, sf_dir: str):
     return (
         tables.interleaved_documents(spark, sf_dir),
@@ -234,13 +241,26 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline at sf0.001."""
+    _ensure_conf(spark)
     sf_dir = "/root/testdata/sf0.001"
     docs, media = _docs_media(spark, sf_dir)
     return pipeline.extract_documents(docs, media)
 
 
+def _with_conf(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_conf(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _with_conf(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "interleave_spans": q_interleave_spans,
         "extract_spans": q_extract_spans,
         "extract_documents_text": q_extract_documents_text,
