@@ -65,34 +65,52 @@ def resize_aspect_ratio(
 
 
 def compute_score_maps(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """gray uint8[H, W] -> (region, link) float32 at half resolution."""
-    g = gray.astype(np.float32)
-    lo, hi = g.min(), g.max()
-    darkness = (hi - g) / max(hi - lo, 1.0)  # adaptive stretch (see module doc)
-    h, w = darkness.shape
+    """gray uint8[H, W] -> (region, link) float32 at half resolution.
+
+    darkness = (hi - g)/(hi - lo) is monotone-decreasing in g, so the
+    half-res block-MAX of darkness equals the darkness of the block-MIN
+    of gray — all full-resolution work is a single uint8 reduction and
+    every float op runs at quarter size. Same outputs as the naive
+    formulation, ~2x cheaper (the detect stage is the per-image hot
+    path at 100 TB)."""
+    h, w = gray.shape
     h2, w2 = h // 2, w // 2
-    d = darkness[: h2 * 2, : w2 * 2]
-    region = d.reshape(h2, 2, w2, 2).max(axis=(1, 3))
+    lo, hi = int(gray.min()), int(gray.max())
+    g2 = gray[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).min(axis=(1, 3))
+    inv = 1.0 / max(hi - lo, 1)
+    region = (hi - g2.astype(np.float32)) * inv  # adaptive stretch (module doc)
     # affinity: anisotropic dilation (sliding max) of the region map —
     # wide horizontally (links characters within a word), 1px vertically
-    # (keeps sparse glyph rows connected without merging lines)
-    link = region.copy()
+    # (keeps sparse glyph rows connected without merging lines); done as
+    # sliding MIN in the uint8 domain (monotonicity again)
+    lk = g2.copy()
     for r in range(1, LINK_RADIUS_H + 1):
-        link[:, r:] = np.maximum(link[:, r:], region[:, :-r])
-        link[:, :-r] = np.maximum(link[:, :-r], region[:, r:])
-    tmp = link.copy()
+        np.minimum(lk[:, r:], g2[:, :-r], out=lk[:, r:])
+        np.minimum(lk[:, :-r], g2[:, r:], out=lk[:, :-r])
+    tmp = lk.copy()
     for r in range(1, LINK_RADIUS_V + 1):
-        link[r:, :] = np.maximum(link[r:, :], tmp[:-r, :])
-        link[:-r, :] = np.maximum(link[:-r, :], tmp[r:, :])
-    return region.astype(np.float32), link.astype(np.float32)
+        np.minimum(lk[r:, :], tmp[:-r, :], out=lk[r:, :])
+        np.minimum(lk[:-r, :], tmp[r:, :], out=lk[:-r, :])
+    link = (hi - lk.astype(np.float32)) * inv
+    return region, link
 
 
 def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     """4-connected CC labeling via row-run union-find (the role of
     cv2.connectedComponentsWithStats in reference craft_utils.py:30).
-    Returns (labels int32[H, W] with 0 = background, n_labels)."""
+    Returns (labels int32[H, W] with 0 = background, n_labels).
+
+    Run extraction is vectorized over the whole image (one diff +
+    nonzero instead of per-row numpy calls); run merging walks the
+    previous row's runs with a two-pointer sweep (both run lists are
+    x-sorted), so the Python work is O(total runs)."""
     h, w = mask.shape
     labels = np.zeros((h, w), dtype=np.int32)
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    sy, sx = np.nonzero(d == 1)  # run starts (row-major order)
+    _, ex = np.nonzero(d == -1)  # run ends, aligned with starts
     parent: list[int] = [0]
 
     def find(x: int) -> int:
@@ -103,44 +121,47 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
             parent[x], x = root, parent[x]
         return root
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label)
-    for y in range(h):
-        row = mask[y]
-        # run extraction: starts/ends of True runs
-        padded = np.empty(w + 2, dtype=bool)
-        padded[0] = padded[-1] = False
-        padded[1:-1] = row
-        diff = np.diff(padded.astype(np.int8))
-        starts = np.flatnonzero(diff == 1)
-        ends = np.flatnonzero(diff == -1)  # exclusive
-        runs: list[tuple[int, int, int]] = []
-        for s, e in zip(starts, ends):
+    run_rows = sy.tolist()
+    run_s = sx.tolist()
+    run_e = ex.tolist()
+    n_runs = len(run_rows)
+    run_labels: list[int] = []
+    prev_lo = prev_hi = 0  # previous processed row's run window
+    prev_row = -2
+    i = 0
+    while i < n_runs:
+        y = run_rows[i]
+        j = i
+        while j < n_runs and run_rows[j] == y:
+            j += 1
+        lo, hi = (prev_lo, prev_hi) if prev_row == y - 1 else (0, 0)
+        p = lo
+        for idx in range(i, j):
+            s, e = run_s[idx], run_e[idx]
             lab = 0
-            # merge with overlapping runs in previous row (4-connectivity:
-            # column overlap)
-            for ps, pe, pl in prev_runs:
-                if pe <= s:
-                    continue
-                if ps >= e:
-                    break
+            while p < hi and run_e[p] <= s:
+                p += 1
+            q = p
+            while q < hi and run_s[q] < e:
+                pl = find(run_labels[q])
                 if lab == 0:
-                    lab = find(pl)
-                else:
-                    union(lab, pl)
+                    lab = pl
+                elif lab != pl:
+                    ra, rb = find(lab), pl
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                    lab = min(ra, rb)
+                q += 1
             if lab == 0:
                 parent.append(len(parent))
                 lab = len(parent) - 1
+            run_labels.append(lab)
             labels[y, s:e] = lab
-            runs.append((s, e, lab))
-        prev_runs = runs
+        prev_lo, prev_hi, prev_row = i, j, y
+        i = j
+
     if len(parent) > 1:
-        # resolve + compact labels
-        roots = np.array([find(i) for i in range(len(parent))], dtype=np.int32)
+        roots = np.array([find(k) for k in range(len(parent))], dtype=np.int32)
         uniq = np.unique(roots[1:])
         remap = np.zeros(len(parent), dtype=np.int32)
         remap[uniq] = np.arange(1, len(uniq) + 1)
@@ -164,23 +185,36 @@ def get_det_boxes(
     craft_utils.py:38-44)."""
     text_score = region >= low_text
     link_score = link >= link_threshold
-    combined = np.clip(
-        text_score.astype(np.int8) + link_score.astype(np.int8), 0, 1
-    ).astype(bool)
+    combined = text_score | link_score
     labels, n = connected_components(combined)
+    if n == 0:
+        return []
+    # vectorized per-component stats (the connectedComponentsWithStats
+    # role): area, max region score, tight bbox over TEXT pixels only
+    flat = labels.ravel()
+    area = np.bincount(flat, minlength=n + 1)
+    maxscore = np.zeros(n + 1, dtype=region.dtype)
+    np.maximum.at(maxscore, flat, region.ravel())
+    ys, xs = np.nonzero(text_score & (labels > 0))
+    labs = labels[ys, xs]
+    big = 1 << 30
+    ix0 = np.full(n + 1, big)
+    ix1 = np.full(n + 1, -1)
+    iy0 = np.full(n + 1, big)
+    iy1 = np.full(n + 1, -1)
+    np.minimum.at(ix0, labs, xs)
+    np.maximum.at(ix1, labs, xs)
+    np.minimum.at(iy0, labs, ys)
+    np.maximum.at(iy1, labs, ys)
     boxes: list[np.ndarray] = []
     for k in range(1, n + 1):
-        comp = labels == k
-        if int(comp.sum()) < MIN_AREA:
+        if area[k] < MIN_AREA:
             continue
-        if float(region[comp].max()) < text_threshold:
+        if maxscore[k] < text_threshold:
             continue
-        ink = comp & text_score
-        if not ink.any():
+        if ix1[k] < 0:  # no text pixels in this component
             continue
-        ys, xs = np.nonzero(ink)
-        x0, x1 = int(xs.min()), int(xs.max())
-        y0, y1 = int(ys.min()), int(ys.max())
+        x0, x1, y0, y1 = int(ix0[k]), int(ix1[k]), int(iy0[k]), int(iy1[k])
         # clockwise from top-left, the reference's coordinate contract
         # (easyocr/craft_utils.py:79-81)
         boxes.append(

@@ -75,26 +75,36 @@ def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+# hoisted constants for the frame scorer (computed once per process):
+# match fraction between binary images a, t of P pixels is
+# (P - popcount(a XOR t))/P = (2*a.t - sum(a) - sum(t) + P)/P — one
+# matvec against the flattened template stack instead of 36 equality
+# scans per segment.
+_TFLAT = TEMPLATES.reshape(len(CHARSET), -1)
+_TSUM = _TFLAT.sum(axis=1)
+_NPIX = GLYPH_H * GLYPH_W
+_BLANK_SCORES = np.empty(N_CLASSES)
+_BLANK_SCORES[0] = 1.0
+# blank frame scores vs glyph templates: fraction of pixels matching an
+# empty window = the template's own empty fraction
+_BLANK_SCORES[1:] = 1.0 - _TSUM / _NPIX
+
+
 def _frames_for_chunk(chunk: np.ndarray, segments: list[tuple[int, int]]) -> np.ndarray:
     """Binary base-res chunk + char segments -> [T, C] prob matrix."""
     frames: list[np.ndarray] = []
-    blank_scores = np.empty(N_CLASSES)
-    blank_scores[0] = 1.0
-    # blank frame scores vs glyph templates: fraction of pixels matching
-    # an empty window = the template's own empty fraction
-    blank_scores[1:] = 1.0 - TEMPLATES.reshape(len(CHARSET), -1).mean(axis=1)
     for s, e in segments:
         seg = chunk[:, s:e].astype(np.float32)
         if seg.shape != (GLYPH_H, GLYPH_W):
             seg = _nearest_resize(seg, GLYPH_H, GLYPH_W)
+        flat = seg.ravel()
+        ssum = flat.sum()
         scores = np.empty(N_CLASSES)
-        scores[0] = 1.0 - seg.mean()  # blank likes empty windows
-        scores[1:] = (
-            (TEMPLATES == seg[None, :, :]).reshape(len(CHARSET), -1).mean(axis=1)
-        )
+        scores[0] = 1.0 - ssum / _NPIX  # blank likes empty windows
+        scores[1:] = (2.0 * (_TFLAT @ flat) - _TSUM - ssum + _NPIX) / _NPIX
         frames.append(scores)
         frames.append(scores)  # duplicated frame: real collapse work
-        frames.append(blank_scores)
+        frames.append(_BLANK_SCORES)
     if not frames:
         return np.empty((0, N_CLASSES))
     raw = np.stack(frames) ** SHARPNESS
