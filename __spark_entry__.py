@@ -238,6 +238,20 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.asof_prior_event(tables.read_table(spark, sf_dir, "events"))
 
 
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_windowed: a real streaming
+    query (file source, watermark, AvailableNow trigger, memory sink)
+    whose final result must equal the batch oracle — the stream/batch
+    parity contract."""
+    import os
+
+    from easyocr_spark.streaming import stream
+
+    return stream.streaming_windowed_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 # ------------------------------------------------------------------ entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline at sf0.001."""
@@ -288,6 +302,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_windowed": q_events_windowed,
         "events_top_types": q_events_top_types,
         "events_asof": q_events_asof,
+        "streaming_windowed": q_streaming_windowed,
     }
 
 
@@ -369,4 +384,5 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": events.duckdb_windowed_sql(),
         "events_top_types": events.duckdb_top_event_types_sql(),
         "events_asof": events.duckdb_asof_sql(),
+        "streaming_windowed": events.duckdb_windowed_sql(),
     }

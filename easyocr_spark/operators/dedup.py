@@ -183,8 +183,16 @@ def minhash_lsh_pairs(
     n_bands: int = N_BANDS,
 ) -> DataFrame:
     """LSH candidate generation + exact verification. Output contract ==
-    jaccard_pairs_exhaustive (same oracle), linear-scalable plan."""
-    shingles = shingle_sets(docs)
+    jaccard_pairs_exhaustive (same oracle), linear-scalable plan.
+
+    The shingle table feeds four consumers (minhash agg, sizes, and the
+    two sides of the verification join); persisting it avoids four full
+    recomputations of tokenize+shingle+distinct — at 100 TB this would
+    be a materialized intermediate table, the standard dedup-pipeline
+    checkpoint."""
+    from pyspark import StorageLevel
+
+    shingles = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     minh = shingles.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("shingle", F.lit(p))).alias(f"h{p}")
