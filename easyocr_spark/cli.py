@@ -50,10 +50,11 @@ def main(argv: list[str] | None = None) -> int:
             args.state,
             n_units=args.n_units,
             snapshot_id=snap,
+            decoder=args.decoder,
         )
         print(json.dumps(res))
     else:
-        out = pipeline.extract_documents(docs, media)
+        out = pipeline.extract_documents(docs, media, decoder=args.decoder)
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"docs": spark.read.parquet(args.output).count()}))
     if owns_session:

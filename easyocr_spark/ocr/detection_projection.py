@@ -10,7 +10,7 @@ split words — and returns the SAME output contract as detection.detect:
 a list of 4-point float boxes in input pixel coords.
 
 Semantically different engine, identical interface and (on clean
-renders) identical boxes — asserted in tests/test_detectors.py.
+renders) identical boxes — asserted in tests/test_reader_features.py.
 """
 
 from __future__ import annotations

@@ -16,9 +16,10 @@ Scale story (the part that matters at 100 TB):
   (1 - 0.8^4)^32 ~= 5e-8 — see SURVEY.md §4).
 - SimHash: 62-bit signatures built from an engine-portable polynomial
   token hash (base 131/137 mod 2^31-1) so the DuckDB oracle reproduces
-  the EXACT signature, not just the verified output. Pair scan is
-  exhaustive here (oracle parity); the scale path is banding the 62
-  bits into chunks and bucket-joining, same as LSH.
+  the EXACT signature, not just the verified output. The pair scan is
+  banded (9 chunks, pigeonhole recall 1.0 at HAM_MAX=8, exact-hamming
+  verify on candidates) — same linear-banding shape as LSH, and the
+  output still equals the exhaustive oracle.
 
 The synthetic corpus has no natural near-dups, so ``with_mutants``
 deterministically plants them: every doc with doc_id % 10 == 3 gets a
@@ -189,7 +190,11 @@ def minhash_lsh_pairs(
     two sides of the verification join); persisting it avoids four full
     recomputations of tokenize+shingle+distinct — at 100 TB this would
     be a materialized intermediate table, the standard dedup-pipeline
-    checkpoint."""
+    checkpoint. The cache is OWNED by this function: the verified pairs
+    (tiny — only true near-dups survive) are materialized eagerly and
+    the shingle cache is unpersisted before returning, so repeated
+    invocations in a long-lived session don't pin stale copies in
+    executor storage."""
     from pyspark import StorageLevel
 
     shingles = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -231,7 +236,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
-    return (
+    pairs = (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -248,6 +253,12 @@ def minhash_lsh_pairs(
             ).cast("long").alias("jaccard_milli"),
         )
     )
+    # materialize the (tiny) verified result, then release the shingle
+    # cache — the returned DataFrame no longer depends on it.
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    shingles.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------- SimHash
@@ -298,29 +309,104 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+# chunk boundaries over the concatenated 62-bit signature (bits 0-30 =
+# sim1, bits 31-61 = sim2): 9 chunks (8x7 bits + 1x6). Pigeonhole: a pair
+# within HAM_MAX=8 differing bits touches at most 8 chunks, so at least
+# one of the 9 chunks is bit-identical — banding on chunk value has
+# RECALL 1.0 and the banded output equals the exhaustive scan exactly.
+SIMHASH_CHUNK_BOUNDS = [0, 7, 14, 21, 28, 35, 42, 49, 56, 62]
+
+
+def _sig_chunk(lo: int, width: int):
+    """Bits [lo, lo+width) of the concatenated 62-bit signature as a
+    long. A chunk that straddles the sim1/sim2 boundary combines pieces
+    of both halves."""
+    pieces = []
+    if lo < 31:
+        w1 = min(width, 31 - lo)
+        pieces.append(
+            F.shiftright(F.col("sim1"), lo).bitwiseAND(F.lit((1 << w1) - 1))
+        )
+        out_shift = w1
+    else:
+        out_shift = 0
+    if lo + width > 31:
+        l2 = max(lo, 31) - 31
+        w2 = lo + width - max(lo, 31)
+        piece2 = F.shiftright(F.col("sim2"), l2).bitwiseAND(F.lit((1 << w2) - 1))
+        pieces.append(piece2 * F.lit(1 << out_shift))
+    expr = pieces[0]
+    for p in pieces[1:]:
+        expr = expr + p
+    return expr.cast("long")
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = HAM_MAX) -> DataFrame:
-    """(doc_a, doc_b, hamming) for pairs within max_hamming bits."""
-    sig = simhash_signatures(docs)
-    a = sig.select(
+    """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
+
+    Scale shape: band the signature into 9 chunks, bucket-join on
+    (chunk_id, chunk_value), verify exact hamming on candidates — the
+    same linear banding pattern as MinHash LSH, replacing the former
+    all-pairs crossJoin. Output contract unchanged (recall 1.0 by
+    pigeonhole, exact verification on candidates), so the exhaustive
+    DuckDB oracle still applies.
+
+    Honest 100-TB caveat: 62 bits / 9 chunks caps chunk width at ~7
+    bits (~128 bucket values), so random collisions make the candidate
+    set ~n^2/128 — two orders of magnitude better than all-pairs but
+    not linear. The production knob is a wider fingerprint (128-bit ->
+    16-bit chunks, Manku et al., WWW'07); kept at 62 bits here because
+    the DuckDB oracle reproduces these signatures bit-for-bit."""
+    from pyspark import StorageLevel
+
+    # the signature build (token-hash HOF + 62-way bit agg) is the
+    # expensive stage and feeds BOTH sides of the band join; persist it
+    # (3 longs per doc — trivially cacheable at any scale) so it runs
+    # once, and release it after the verified pairs materialize.
+    sig = simhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    n_chunks = len(SIMHASH_CHUNK_BOUNDS) - 1
+    chunk_vals = F.array(
+        *[
+            _sig_chunk(
+                SIMHASH_CHUNK_BOUNDS[i],
+                SIMHASH_CHUNK_BOUNDS[i + 1] - SIMHASH_CHUNK_BOUNDS[i],
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "sim1", "sim2",
+        F.posexplode(chunk_vals).alias("chunk_id", "chunk_val"),
+    )
+    a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sim1").alias("s1a"),
         F.col("sim2").alias("s2a"),
+        "chunk_id",
+        "chunk_val",
     )
-    b = sig.select(
+    b = banded.select(
         F.col("doc_id").alias("doc_b"),
         F.col("sim1").alias("s1b"),
         F.col("sim2").alias("s2b"),
+        "chunk_id",
+        "chunk_val",
     )
     ham = F.bit_count(
         F.col("s1a").bitwiseXOR(F.col("s1b"))
     ) + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b")))
-    return (
-        a.crossJoin(b)
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    sig.unpersist()
+    return pairs
 
 
 def duckdb_simhash_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:

@@ -37,17 +37,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ocr.udfs import OCR_RESULT_SCHEMA, ocr_batches
+from ..ocr.udfs import OCR_RESULT_SCHEMA, make_ocr_batches, ocr_batches
 
 SPAN_COLS = ["doc_id", "offset", "kind", "text", "media_ref"]
 
 
-def explode_spans(docs: DataFrame) -> DataFrame:
+def explode_spans(docs: DataFrame, keep_empty: bool = False) -> DataFrame:
     """Nested docs -> flat span rows (doc_id, pos, offset, kind, text,
     media_ref). ``pos`` is the physical array index; ``offset`` the
-    logical order — distinct because storage order is rotated."""
+    logical order — distinct because storage order is rotated.
+
+    keep_empty=True uses posexplode_outer: a doc with an empty span
+    array yields one all-null marker row instead of vanishing, so the
+    full pipeline can preserve empty documents WITHOUT re-attaching a
+    doc_id spine join later (one fewer scan + shuffle in the flagship
+    plan)."""
+    fn = F.posexplode_outer if keep_empty else F.posexplode
     return docs.select(
-        "doc_id", F.posexplode("spans").alias("pos", "s")
+        "doc_id", fn("spans").alias("pos", "s")
     ).select(
         "doc_id",
         "pos",
@@ -59,7 +66,10 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def ocr_media_refs(
-    spans: DataFrame, media: DataFrame, num_partitions: int | None = None
+    spans: DataFrame,
+    media: DataFrame,
+    num_partitions: int | None = None,
+    decoder: str = "greedy",
 ) -> DataFrame:
     """Distinct media refs -> (media_ref, text, conf, n_boxes).
 
@@ -78,12 +88,18 @@ def ocr_media_refs(
         .distinct()
     )
     with_bytes = refs.join(media, "media_ref", "inner")
+    kernel = ocr_batches if decoder == "greedy" else make_ocr_batches(decoder)
     return with_bytes.repartition(n, "media_ref").mapInPandas(
-        ocr_batches, schema=OCR_RESULT_SCHEMA
+        kernel, schema=OCR_RESULT_SCHEMA
     )
 
 
-def extract_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
+def extract_spans(
+    docs: DataFrame,
+    media: DataFrame,
+    decoder: str = "greedy",
+    keep_empty: bool = False,
+) -> DataFrame:
     """Flat extracted spans: media text filled in, text spans untouched.
     Output columns: doc_id, offset, kind, text, media_ref.
 
@@ -97,8 +113,8 @@ def extract_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
     unbroadcastable results table, the split/union + salted join in
     skew.py is the fallback — see operators/skew.py.)
     """
-    spans = explode_spans(docs)
-    results = ocr_media_refs(spans, media).select(
+    spans = explode_spans(docs, keep_empty=keep_empty)
+    results = ocr_media_refs(spans, media, decoder=decoder).select(
         F.col("media_ref").alias("r_ref"), F.col("text").alias("ocr_text")
     )
     join_key = F.when(F.col("kind") == "media", F.col("media_ref"))
@@ -120,29 +136,28 @@ def extract_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
 
 def reassemble(extracted_spans: DataFrame) -> DataFrame:
     """Flat spans -> documents(doc_id, spans array<struct<...>>) with
-    spans in offset order (array_sort on offset-first struct)."""
+    spans in offset order (array_sort on offset-first struct).
+
+    Null-offset marker rows (posexplode_outer's empty-doc markers) are
+    dropped in-band: collect_list skips nulls, so a CASE inside the agg
+    turns an empty doc's marker into an empty spans array — no spine
+    join needed to keep empty documents."""
+    span_struct = F.when(
+        F.col("offset").isNotNull(),
+        F.struct("offset", "kind", "text", "media_ref"),
+    )
     return extracted_spans.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-        ).alias("spans")
+        F.array_sort(F.collect_list(span_struct)).alias("spans")
     )
 
 
-def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
+def extract_documents(
+    docs: DataFrame, media: DataFrame, decoder: str = "greedy"
+) -> DataFrame:
     """Full pipeline: nested in, nested out — every media span's text
     replaced by its recognized string, order restored by offset.
-    Documents with empty span arrays are preserved by re-attaching the
-    doc_id spine with a left join (doc-grain, co-partitioned with the
-    reassembly's groupBy output — no extra full-data pass)."""
-    out = reassemble(extract_spans(docs, media))
-    spine = docs.select("doc_id")
-    return spine.join(out, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(
-            "spans",
-            F.expr(
-                "CAST(array() AS array<struct<offset:int,kind:string,"
-                "text:string,media_ref:string>>)"
-            ),
-        ).alias("spans"),
-    )
+    Documents with empty span arrays are preserved in-band by
+    posexplode_outer (empty array -> one null marker row that the
+    reassembly agg folds into an empty array) — no doc_id spine join,
+    one scan of the documents table total."""
+    return reassemble(extract_spans(docs, media, decoder=decoder, keep_empty=True))

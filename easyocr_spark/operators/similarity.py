@@ -16,7 +16,8 @@ exactly and ranking ties break on integer ids.
   bucket both sides; candidates only within the probe's bucket. Same
   arithmetic in the oracle (the planes are pure integer formulas), so
   even the ANN variant is exactly verified.
-- neardup_pairs: all-pairs cosine >= 0.95 (embedding near-dup dedup).
+- neardup_pairs: cosine >= 0.95 pairs (embedding near-dup dedup) via
+  LSH-bucket candidates (+1-bit multi-probe) with exact verification.
 """
 
 from __future__ import annotations
@@ -85,10 +86,14 @@ def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
 
 def _plane_dot(emb: Column, j: int) -> Column:
     """Dot with deterministic integer hyperplane j:
-    w[j][d] = ((j*DIM + d) * PLANE_MULT) % 1000 - 500."""
+    w[j][d] = ((j*DIM + d) * PLANE_MULT) % 1000 - 500.
+    The dimension range follows the actual array length (size() is
+    evaluated outside the lambda, so no per-element re-evaluation);
+    weights still index as j*DIM + d so the 64-dim oracle arithmetic is
+    unchanged on the driver tables."""
     return F.aggregate(
         F.transform(
-            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            F.sequence(F.lit(0), F.size(emb) - 1),
             lambda d: (
                 ((F.lit(j) * DIM + d) * F.lit(PLANE_MULT)) % 1000 - 500
             ).cast("double")
@@ -167,10 +172,36 @@ DUCK_PLANTED = f"""
 
 
 def neardup_pairs(embeddings: DataFrame, micro: int = NEARDUP_MICRO) -> DataFrame:
-    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    """Embedding near-dup pairs (cos >= micro/1e6) via hyperplane-LSH
+    candidate generation + exact cosine verification — the same banding
+    shape as MinHash/SimHash, replacing the former all-pairs crossJoin.
+
+    Candidates: one side explodes into its own bucket plus all 16
+    one-bit-flipped buckets (multi-probe radius 1); the other side keeps
+    its single bucket; a pair whose bucket signatures differ in <= 1
+    hyperplane is matched by EXACTLY one probe (so no distinct needed).
+    Identical vectors always share a bucket -> recall 1.0 on exact
+    duplicates; for merely-close pairs this is the standard
+    approximate-recall LSH trade (more probes / more tables = more
+    recall), verified exact on every candidate. Cost: 17n exploded rows
+    + bucket-local joins — linear-ish, vs n^2 for the cross join."""
+    with_bucket = embeddings.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    a = with_bucket.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = with_bucket.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", cos_micro(F.col("ea"), F.col("eb")).alias("cos_micro")

@@ -33,9 +33,11 @@ def salted_join(
     unique id column. Result columns = big's columns + small's non-key
     columns (same contract as ``big.join(small, key)``).
     """
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % n_salts).alias(
-        "_salt"
-    )
+    # pmod, not abs-then-mod: abs(Long.MIN_VALUE) overflows and would
+    # yield a negative salt that silently drops the row from an inner join
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).alias("_salt")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -31,7 +31,7 @@ RESIZE_SCHEMA = "media_ref string, content binary, width int, height int"
 AUDIO_META_SCHEMA = (
     "media_ref string, sample_rate int, n_samples long, duration_ms long"
 )
-FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame png binary"
+FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame_png binary"
 
 
 def image_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -66,14 +66,23 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.createDataFrame([], STATE_SCHEMA)
 
 
-def done_units(spark: SparkSession, state_dir: str) -> list[int]:
+def done_units(
+    spark: SparkSession, state_dir: str, snapshot_id: str | None = None
+) -> list[int]:
+    """Units already extracted FOR THE CURRENT INPUT SNAPSHOT.
+
+    Filtering on input_snapshot_id (not just status) enforces lineage:
+    if the input gained files since a unit was marked done, new docs
+    hashing into that unit would otherwise be skipped forever. A 'done'
+    recorded under a stale snapshot does not count — those units rerun
+    and their output partitions are overwritten idempotently."""
     state = read_state(spark, state_dir)
+    cond = F.col("status") == "done"
+    if snapshot_id is not None:
+        cond = cond & (F.col("input_snapshot_id") == snapshot_id)
     return [
         r.unit_id
-        for r in state.filter(F.col("status") == "done")
-        .select("unit_id")
-        .distinct()
-        .collect()
+        for r in state.filter(cond).select("unit_id").distinct().collect()
     ]
 
 
@@ -86,6 +95,7 @@ def run_extraction(
     n_units: int = 32,
     snapshot_id: str = "",
     run_id: str | None = None,
+    decoder: str = "greedy",
 ) -> dict:
     """Process all not-yet-done units; returns run metrics.
 
@@ -95,7 +105,7 @@ def run_extraction(
     """
     run_id = run_id or f"run_{int(time.time() * 1000)}"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    done = done_units(spark, state_dir)
+    done = done_units(spark, state_dir, snapshot_id)
     t0 = time.time()
 
     with_unit = docs.withColumn(
@@ -105,7 +115,7 @@ def run_extraction(
     if todo.isEmpty():
         return {"run_id": run_id, "units_processed": 0, "docs": 0}
 
-    extracted = pipeline.extract_documents(todo.drop("unit_id"), media)
+    extracted = pipeline.extract_documents(todo.drop("unit_id"), media, decoder=decoder)
     out = extracted.withColumn(
         "unit_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_units)).cast("int")
     )
@@ -143,7 +153,16 @@ def run_extraction(
             F.lit(run_id).alias("run_id"),
         )
     )
-    metrics.write.mode("append").parquet(state_dir)
-    n_units_done = metrics.count()
-    n_docs = written.count()
-    return {"run_id": run_id, "units_processed": n_units_done, "docs": n_docs}
+    # one pass: the per-unit agg is collected (tiny: one row per unit),
+    # the state append writes from the local rows, and the run totals
+    # derive from the same rows — no re-execution of the agg and no
+    # second scan of the committed output.
+    rows = metrics.collect()
+    spark.createDataFrame(rows, metrics.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(state_dir)
+    return {
+        "run_id": run_id,
+        "units_processed": len(rows),
+        "docs": int(sum(r.docs_done for r in rows)),
+    }

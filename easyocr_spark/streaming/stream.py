@@ -86,10 +86,14 @@ def stream_extract_foreachbatch(
     checkpoint_dir: str,
 ) -> int:
     """Incremental extraction over a documents directory: AvailableNow
-    file stream -> foreachBatch(batch extract) -> parquet append.
+    file stream -> foreachBatch(batch extract) -> parquet sink.
     Returns number of micro-batches executed. Re-running with the same
     checkpoint_dir processes only files not seen before (exactly-once
-    file-source semantics)."""
+    SOURCE progress). foreachBatch itself is at-least-once, so the sink
+    write is made idempotent per epoch: output is partitioned by
+    batch_id and written with DYNAMIC partition overwrite — a
+    micro-batch retried after a partial write overwrites exactly its
+    own partition instead of duplicating documents."""
     schema = spark.read.parquet(docs_path).schema
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 1
@@ -97,8 +101,15 @@ def stream_extract_foreachbatch(
     n_batches = {"n": 0}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        extracted = pipeline.extract_documents(batch_df, media)
-        extracted.write.mode("append").parquet(out_dir)
+        extracted = pipeline.extract_documents(batch_df, media).withColumn(
+            "batch_id", F.lit(int(epoch_id))
+        )
+        (
+            extracted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
         n_batches["n"] += 1
 
     q = (

@@ -133,8 +133,10 @@ EXECUTOR cluster every executor gets its own cores, which the 2->8
 pair models correctly.
 
 Spark confs: AQE on (coalesce + skew join), shuffle.partitions = cores,
-spark.python.worker.reuse=true (each task otherwise pays ~0.3 core-s of
-Python import), Arrow batches capped at 256 rows, OMP/BLAS pinned to 1
+spark.python.worker.reuse=false (measured: reused workers stall on the
+2nd heavy UDF stage, 34s -> 81s with 72% idle CPU; fresh workers pay
+~0.3 core-s import tax per task, <1s/stage at these partition counts —
+see easyocr_spark/session.py), Arrow batches capped at 256 rows, OMP/BLAS pinned to 1
 thread per worker, UTC session tz (easyocr_spark/session.py).
 
 Evidence produced by tools/scaling_bench.py as the sandbox stand-in for
