@@ -123,6 +123,17 @@ def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refs.mapInPandas(udfs.dims_batches, schema=udfs.DIMS_RESULT_SCHEMA)
 
 
+def q_media_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-ingest branch: the color media class is stored as
+    truecolor PNG; decode must report 3 source channels (vs 1 for
+    gray) while dims — and every downstream OCR oracle — stay
+    identical after BT.601 gray conversion."""
+    refs = _distinct_media(spark, sf_dir)
+    return refs.mapInPandas(
+        udfs.channels_batches, schema=udfs.CHANNELS_RESULT_SCHEMA
+    )
+
+
 def q_ocr_results_beamsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTC prefix beam-search decode path — same output contract as the
     greedy path on clean renders (reference easyocr/utils.py:181-270)."""
@@ -139,6 +150,27 @@ def q_ocr_results_wordbeam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refs.mapInPandas(
         udfs.make_ocr_batches("wordbeamsearch"), schema=udfs.OCR_RESULT_SCHEMA
     ).select("media_ref", "text")
+
+
+UPPER_ALLOW = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+
+def q_ocr_results_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowlist-masked recognition (reference easyocr/easyocr.py:363-368)
+    over the subset of media whose ground truth uses only uppercase +
+    digits — selected by the corpus FORMULA (spark_gt_expr), not by OCR
+    output. With lowercase/punctuation glyph classes masked out of the
+    softmax, recognition must still recover the ground truth exactly."""
+    refs = _distinct_media(spark, sf_dir)
+    pred = F.expr(corpus.spark_gt_from_ref("media_ref")).rlike("^[A-Z0-9 ]*$")
+    return (
+        refs.filter(pred)
+        .mapInPandas(
+            udfs.make_ocr_batches("greedy", allowlist=UPPER_ALLOW),
+            schema=udfs.OCR_RESULT_SCHEMA,
+        )
+        .select("media_ref", "text")
+    )
 
 
 def q_ocr_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +284,25 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode streaming twin: watermark + append output to FILES
+    (bounded state — closed windows are emitted and evicted). The final
+    file contents must equal the batch oracle restricted to closed
+    windows (window_end <= max(ts) - watermark)."""
+    import os
+    import tempfile
+
+    from easyocr_spark.streaming import stream
+
+    d = tempfile.mkdtemp(prefix="stream_append_")
+    return stream.streaming_windowed_append(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "out"),
+        os.path.join(d, "ckpt"),
+    )
+
+
 # ------------------------------------------------------------------ entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline at sf0.001."""
@@ -283,8 +334,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ocr_results": q_ocr_results,
         "ocr_results_beamsearch": q_ocr_results_beamsearch,
         "ocr_results_wordbeam": q_ocr_results_wordbeam,
+        "ocr_results_allowlist": q_ocr_results_allowlist,
         "ocr_paragraphs": q_ocr_paragraphs,
         "media_dims": q_media_dims,
+        "media_channels": q_media_channels,
         "span_stats": q_span_stats,
         "media_ref_usage": q_media_ref_usage,
         "dedup_exact": q_dedup_exact,
@@ -303,6 +356,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_top_types": q_events_top_types,
         "events_asof": q_events_asof,
         "streaming_windowed": q_streaming_windowed,
+        "streaming_windowed_append": q_streaming_windowed_append,
     }
 
 
@@ -347,6 +401,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_results_wordbeam": f"""
             SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
         """,
+        "ocr_results_allowlist": f"""
+            SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
+            WHERE regexp_full_match({gt}, '[A-Z0-9 ]*')
+        """,
         "ocr_paragraphs": f"""
             SELECT media_ref,
                    CASE WHEN {gt} = '' THEN 0 ELSE 1 END AS n_paragraphs,
@@ -355,6 +413,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_dims": f"""
             SELECT media_ref, {wexpr} AS width, {hexpr} AS height
+            FROM ({DUCK_DISTINCT_REFS})
+        """,
+        "media_channels": f"""
+            SELECT media_ref, {corpus.duckdb_channels_expr('media_ref')} AS channels,
+                   {wexpr} AS width, {hexpr} AS height
             FROM ({DUCK_DISTINCT_REFS})
         """,
         "span_stats": f"""
@@ -385,4 +448,5 @@ def oracle_sql() -> dict[str, str]:
         "events_top_types": events.duckdb_top_event_types_sql(),
         "events_asof": events.duckdb_asof_sql(),
         "streaming_windowed": events.duckdb_windowed_sql(),
+        "streaming_windowed_append": events.duckdb_windowed_append_sql(),
     }

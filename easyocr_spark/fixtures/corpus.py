@@ -36,21 +36,39 @@ from __future__ import annotations
 
 import numpy as np
 
-from .png import encode_gray
+from .png import encode_gray, encode_rgb
 from .render import render_text, render_tiny
 
-# 64 words, A-Z0-9 only, lengths 2-8 (fits the glyph atlas charset)
+# bump when render_media output changes (media_table caches renders per
+# scale factor under /tmp; a stale cache would silently pin old pixels)
+# v2: color media class; v3: mixed-case/punctuated vocab
+MEDIA_SPEC_VERSION = 3
+
+# RGB ink colors for the color media class, one per a % 3. All three
+# convert to dark luma under the decoder's fixed-point BT.601
+# ((77R+150G+29B+128)>>8 = 44 / 72 / 26), so binarization — and with it
+# every detection/recognition oracle — is identical to black-ink
+# renders; only the PNG color type (and the decode path taken) differs.
+COLOR_INKS = [(112, 16, 16), (16, 112, 16), (16, 16, 112)]
+
+# 64 words over the full atlas charset (upper, lower, digits, .,!?-),
+# lengths 2-8. Mixed-case + punctuated entries make case-sensitive
+# recognition, allowlist masking, and the wordbeam dictionary
+# non-trivial (the reference's en_char charset is case-sensitive).
+# No single quotes (entries are embedded in SQL literals in both
+# dialects).
 VOCAB = [
-    "HELLO", "WORLD", "SPARK", "ARROW", "QUERY", "TABLE", "SHUFFLE", "JOIN",
+    "Hello", "world", "SPARK", "ARROW", "QUERY", "Table", "SHUFFLE", "JOIN",
     "SCAN", "AGG", "OCR", "TEXT", "SPAN", "MEDIA", "DOC", "REF",
     "OFFSET", "KIND", "BATCH", "VECTOR", "COLUMN", "ROW", "GROUP", "SORT",
     "MERGE", "FILTER", "MAP", "REDUCE", "CRAFT", "CRNN", "CTC", "BEAM",
     "GREEDY", "BLANK", "GLYPH", "PIXEL", "IMAGE", "LINE", "WORD", "CHAR",
-    "BOOK", "LLAMA", "COFFEE", "BETTER", "LETTER", "SUMMER", "WINTER", "X42",
-    "A1B2", "Z9", "QQ7", "JAZZ", "FIZZ", "BUZZ", "APPLE", "BANANA",
-    "CHERRY", "OTTER", "EAGLE", "FALCON", "TIGER", "ZEBRA", "MOOSE", "GOOSE",
+    "Book", "llama", "Coffee!", "better", "Letter!", "summer?", "Winter.", "x42",
+    "A1B2", "Z9", "QQ7", "Jazz", "FIZZ", "buzz!", "Apple", "banana",
+    "Cherry", "otter", "EAGLE", "FALCON", "TIGER", "ZEBRA", "Moose.", "goose",
 ]
 assert len(VOCAB) == 64
+assert all(2 <= len(w) <= 8 and "'" not in w for w in VOCAB)
 
 LANGS = ["latin", "chinese", "arabic"]
 
@@ -70,9 +88,14 @@ def media_spec(media_ref: str) -> dict:
          for j in range((a + 3 * b + line) % 3 + 1)]
         for line in range(n_lines)
     ]
+    low_contrast = (a + b) % 7 == 0
     return {
         "tiny": tiny,
-        "low_contrast": (a + b) % 7 == 0,
+        "low_contrast": low_contrast,
+        # color class: truecolor PNG with tinted ink (exercises the
+        # reformat_input color branch, reference easyocr/utils.py:732-769);
+        # disjoint from tiny/low-contrast so those classes stay pure gray
+        "color": (not tiny) and (not low_contrast) and (a + b) % 5 == 1,
         "scale": 2 + 2 * ((a + b) % 2),
         "lines": lines,
         "lang": LANGS[a % 3],
@@ -103,7 +126,24 @@ def render_media(media_ref: str) -> bytes:
         img = render_tiny()
     else:
         img = render_text(spec["lines"], spec["scale"], spec["low_contrast"])
+    if spec["color"]:
+        a, _ = parse_ref(media_ref)
+        ink = np.array(COLOR_INKS[a % 3], dtype=np.uint8)
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        rgb[img == 0] = ink  # non-low-contrast ink is exactly 0
+        return encode_rgb(rgb)
     return encode_gray(img)
+
+
+def duckdb_channels_expr(ref_col: str) -> str:
+    """Expected PNG channel count for a media_ref (3 for the color
+    class, 1 otherwise) — the oracle for the decode-branch query."""
+    a = f"TRY_CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"TRY_CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    return (
+        f"CASE WHEN (7*({a}) + ({b})) % 23 <> 0 AND ({a} + {b}) % 7 <> 0 "
+        f"AND ({a} + {b}) % 5 = 1 THEN 3 ELSE 1 END"
+    )
 
 
 # ------------------------------------------------- span derivation (Spark SQL)
@@ -200,6 +240,32 @@ def duckdb_gt_from_ref(ref_col: str) -> str:
     a = f"TRY_CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
     b = f"TRY_CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
     return duckdb_gt_expr(a, b)
+
+
+def spark_gt_expr(a: str, b: str) -> str:
+    """Spark SQL expression computing ground_truth_text() for parsed
+    media_ref ints ``a``/``b`` — the Spark twin of duckdb_gt_expr, used
+    where a QUERY needs the corpus formula (e.g. selecting the
+    uppercase-only subset for the allowlist query) without running
+    OCR. Same arithmetic, Spark HOF dialect."""
+    vocab = "array(" + ", ".join(f"'{w}'" for w in VOCAB) + ")"
+    line = (
+        f"transform(sequence(0, pmod(({a}) + 3*({b}) + L, 3)), j -> "
+        f"element_at({vocab}, "
+        f"CAST(pmod(({a})*31 + ({b})*17 + L*13 + j*7, 64) + 1 AS INT)))"
+    )
+    return f"""
+    CASE WHEN pmod(7*({a}) + ({b}), 23) = 0 THEN ''
+    ELSE array_join(flatten(
+      transform(sequence(0, pmod({a} + 2*({b}), 2)), L ->
+        CASE WHEN pmod({a}, 3) = 2 THEN reverse({line}) ELSE {line} END)), ' ')
+    END"""
+
+
+def spark_gt_from_ref(ref_col: str) -> str:
+    a = f"CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
+    b = f"CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
+    return spark_gt_expr(a, b)
 
 
 def duckdb_word_count_expr(ref_col: str) -> str:

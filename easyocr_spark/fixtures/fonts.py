@@ -28,8 +28,18 @@ GLYPH_W = 5
 CELL_W = GLYPH_W + 1
 CELL_H = GLYPH_H + 1
 
-# Recognizable characters (space is an inter-word separator, not a glyph)
-CHARSET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+# Recognizable characters (space is an inter-word separator, not a
+# glyph). Mirrors the reference's per-script charset files
+# (easyocr/character/en_char.txt: digits + punctuation + 52 letters):
+# uppercase, digits, lowercase, and basic punctuation — so case
+# semantics, allow/blocklist masking, and mixed-case vocab are
+# non-trivially exercised. Each character gets its own procedural
+# glyph; case pairs are DIFFERENT glyphs (hamming margin enforced).
+CHARSET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "abcdefghijklmnopqrstuvwxyz"
+    ".,!?-"
+)
 BLANK_IDX = 0  # CTC blank, as in CTCLabelConverter
 # label index of CHARSET[i] is i + 1
 

@@ -1,13 +1,19 @@
-"""Minimal pure-Python PNG codec for 8-bit grayscale images.
+"""Minimal pure-Python PNG codec: grayscale-8 and truecolor-8.
 
 Mirrors the role of cv2.imencode/imdecode in the reference ingest path
 (reference easyocr/utils.py:742-746 decodes raw bytes with
-``cv2.imdecode``): our media table stores encoded PNG bytes, and the OCR
-UDF decodes them to ``np.uint8[H, W]`` inside the Arrow batch.
+``cv2.imdecode``; easyocr/imgproc.py:11-18 loadImage then converts
+BGR/RGB/RGBA to grayscale): our media table stores encoded PNG bytes,
+and the OCR UDF decodes them to ``np.uint8[H, W]`` inside the Arrow
+batch. Color (type-2 RGB) images are converted with the fixed-point
+BT.601 luma (77 R + 150 G + 29 B) >> 8 — integer weights summing to
+256, so pure grays map to themselves exactly and the conversion is
+bit-reproducible across engines.
 
-Encoder always writes filter type 0 (None) scanlines; decoder implements
-all five PNG filter reconstructions so any conformant grayscale-8 PNG
-round-trips.
+Encoder always writes filter type 0 (None) scanlines; decoder
+implements all five PNG filter reconstructions (bpp-aware, so both
+gray and RGB scanlines reconstruct) so any conformant gray-8 or RGB-8
+PNG round-trips.
 """
 
 from __future__ import annotations
@@ -43,56 +49,46 @@ def encode_gray(img: np.ndarray, compress_level: int = 6) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_gray(data: bytes) -> np.ndarray:
-    """PNG bytes (grayscale-8) -> uint8[H, W]."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or ctype != 0 or interlace != 0:
-                raise ValueError("only grayscale-8 non-interlaced supported")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, w + 1)
+def encode_rgb(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """uint8[H, W, 3] -> PNG bytes (truecolor, bit depth 8)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_rgb expects uint8[H, W, 3]")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, row_bytes: int, bpp: int) -> np.ndarray:
+    """Reconstruct filtered scanlines -> uint8[h, row_bytes]. bpp-aware
+    (Sub/Average/Paeth reference the pixel bpp bytes to the left)."""
     filters = raw[:, 0]
     out = raw[:, 1:].astype(np.int32).copy()
     if np.any(filters):
-        # general per-scanline reconstruction (filters 1-4 reference the
-        # previous column/row, so rows go sequentially)
-        prev = np.zeros(w, dtype=np.int32)
+        prev = np.zeros(row_bytes, dtype=np.int32)
         for y in range(h):
             f = filters[y]
             row = out[y]
             if f == 0:
                 pass
             elif f == 1:  # Sub
-                for x in range(1, w):
-                    row[x] = (row[x] + row[x - 1]) & 0xFF
+                for x in range(bpp, row_bytes):
+                    row[x] = (row[x] + row[x - bpp]) & 0xFF
             elif f == 2:  # Up
                 row += prev
                 row &= 0xFF
             elif f == 3:  # Average
-                row[0] = (row[0] + prev[0] // 2) & 0xFF
-                for x in range(1, w):
-                    row[x] = (row[x] + (row[x - 1] + prev[x]) // 2) & 0xFF
+                for x in range(row_bytes):
+                    a = row[x - bpp] if x >= bpp else 0
+                    row[x] = (row[x] + (a + int(prev[x])) // 2) & 0xFF
             elif f == 4:  # Paeth
-                for x in range(w):
-                    a = row[x - 1] if x else 0
+                for x in range(row_bytes):
+                    a = row[x - bpp] if x >= bpp else 0
                     b = int(prev[x])
-                    c = int(prev[x - 1]) if x else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -101,3 +97,47 @@ def decode_gray(data: bytes) -> np.ndarray:
                 raise ValueError(f"bad filter {f}")
             prev = row
     return out.astype(np.uint8)
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, int]:
+    """PNG bytes -> (uint8[H, W] grayscale, n_channels of the source).
+
+    Gray-8 passes through; RGB-8 converts via fixed-point BT.601
+    (weights 77/150/29 sum to 256: pure grays are preserved exactly).
+    This is the loadImage normalization branch (reference
+    easyocr/imgproc.py:11-18 / utils.py:732-769) for the formats the
+    engine's media column carries."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = ctype = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype not in (0, 2) or interlace != 0:
+                raise ValueError("only gray-8 / rgb-8 non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    bpp = 1 if ctype == 0 else 3
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, w * bpp + 1)
+    out = _unfilter(raw, h, w * bpp, bpp)
+    if ctype == 0:
+        return out, 1
+    rgb = out.reshape(h, w, 3).astype(np.uint32)
+    gray = (77 * rgb[:, :, 0] + 150 * rgb[:, :, 1] + 29 * rgb[:, :, 2] + 128) >> 8
+    return gray.astype(np.uint8), 3
+
+
+def decode_gray(data: bytes) -> np.ndarray:
+    """PNG bytes (gray-8 or rgb-8) -> uint8[H, W] grayscale."""
+    return decode_image(data)[0]

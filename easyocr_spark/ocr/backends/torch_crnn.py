@@ -1,0 +1,175 @@
+"""Real gen2 CRNN recognizer (torch backend).
+
+Implements the generation-2 recognition graph the released
+``english_g2.pth`` weights expect (reference easyocr/config.py:145-160
+pins file + md5; architecture reference easyocr/model/vgg_model.py:4-35
+and model/modules.py:81-130): a 7-conv VGG-style feature extractor with
+asymmetric pooling (height collapses 64 -> 1, width becomes the CTC
+time axis), adaptive-avg-pool squeeze, two stacked bidirectional LSTMs
+(hidden 256), and a linear CTC head. Keys are translated from the
+checkpoint's names by remap_key — independent module code, not a
+mirror.
+
+The forward's output feeds the engine's EXISTING numpy CTC stack
+(ocr/ctc.py greedy/beam/wordbeam + custom_mean confidence), so decoder
+behavior, allow/blocklist masking, and the two-pass contrast retry in
+ocr/recognition.py are shared between backends — only the [T, C]
+probability producer differs.
+
+UNTESTED IN THIS SANDBOX: torch is absent here; tests importorskip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# english_g2 network params (reference easyocr/config.py:145-160)
+INPUT_CHANNEL = 1
+OUTPUT_CHANNEL = 256
+HIDDEN_SIZE = 256
+IMG_H = 64  # gen2 models use 64px-high inputs (reference imgH)
+# charset: reference easyocr/character/en.txt + config 'characters';
+# index 0 is the CTC blank, matching CTCLabelConverter
+EN_G2_CHARSET = (
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ "
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
+def build_model(num_class: int = len(EN_G2_CHARSET) + 1):
+    import torch.nn as nn
+
+    c = [OUTPUT_CHANNEL // 8, OUTPUT_CHANNEL // 4, OUTPUT_CHANNEL // 2, OUTPUT_CHANNEL]
+
+    class BiLSTM(nn.Module):
+        def __init__(self, n_in: int, n_hidden: int, n_out: int):
+            super().__init__()
+            self.rnn = nn.LSTM(n_in, n_hidden, bidirectional=True, batch_first=True)
+            self.proj = nn.Linear(n_hidden * 2, n_out)
+
+        def forward(self, x):
+            y, _ = self.rnn(x)
+            return self.proj(y)
+
+    class CrnnNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(
+                nn.Conv2d(INPUT_CHANNEL, c[0], 3, 1, 1), nn.ReLU(True),
+                nn.MaxPool2d(2, 2),
+                nn.Conv2d(c[0], c[1], 3, 1, 1), nn.ReLU(True),
+                nn.MaxPool2d(2, 2),
+                nn.Conv2d(c[1], c[2], 3, 1, 1), nn.ReLU(True),
+                nn.Conv2d(c[2], c[2], 3, 1, 1), nn.ReLU(True),
+                nn.MaxPool2d((2, 1), (2, 1)),
+                nn.Conv2d(c[2], c[3], 3, 1, 1, bias=False),
+                nn.BatchNorm2d(c[3]), nn.ReLU(True),
+                nn.Conv2d(c[3], c[3], 3, 1, 1, bias=False),
+                nn.BatchNorm2d(c[3]), nn.ReLU(True),
+                nn.MaxPool2d((2, 1), (2, 1)),
+                nn.Conv2d(c[3], c[3], 2, 1, 0), nn.ReLU(True),
+            )
+            self.pool = nn.AdaptiveAvgPool2d((None, 1))
+            self.seq = nn.Sequential(
+                BiLSTM(OUTPUT_CHANNEL, HIDDEN_SIZE, HIDDEN_SIZE),
+                BiLSTM(HIDDEN_SIZE, HIDDEN_SIZE, HIDDEN_SIZE),
+            )
+            self.head = nn.Linear(HIDDEN_SIZE, num_class)
+
+        def forward(self, x):
+            v = self.features(x)  # [N, C, h', T]
+            v = self.pool(v.permute(0, 3, 1, 2)).squeeze(3)  # [N, T, C]
+            return self.head(self.seq(v))  # [N, T, num_class]
+
+    return CrnnNet()
+
+
+def remap_key(ckpt_key: str) -> str | None:
+    """english_g2.pth key -> this module's key."""
+    k = ckpt_key
+    if k.startswith("module."):
+        k = k[len("module."):]
+    if k.startswith("FeatureExtraction.ConvNet."):
+        return "features." + k[len("FeatureExtraction.ConvNet."):]
+    if k.startswith("SequenceModeling."):
+        rest = k[len("SequenceModeling."):]  # '<i>.rnn.*' or '<i>.linear.*'
+        i, sub = rest.split(".", 1)
+        sub = sub.replace("linear.", "proj.", 1) if sub.startswith("linear.") else sub
+        return f"seq.{i}.{sub}"
+    if k.startswith("Prediction."):
+        return "head." + k[len("Prediction."):]
+    return None
+
+
+def load_weights(model, path: str):
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    state = {}
+    for ck, v in ckpt.items():
+        mk = remap_key(ck)
+        if mk is None:
+            raise KeyError(f"unexpected checkpoint key: {ck}")
+        state[mk] = v
+    model.load_state_dict(state, strict=True)
+    model.eval()
+    return model
+
+
+def normalize_pad(crop: np.ndarray, target_h: int = IMG_H,
+                  max_w: int | None = None) -> np.ndarray:
+    """NormalizePAD semantics (reference easyocr/recognition.py:30-47):
+    aspect-preserving resize to target height, scale to [-1, 1], pad
+    right with the last column ('contrast pad')."""
+    h, w = crop.shape
+    new_w = max(1, int(round(w * target_h / h)))
+    ys = ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64).clip(0, h - 1)
+    xs = ((np.arange(new_w) + 0.5) * w / new_w).astype(np.int64).clip(0, w - 1)
+    resized = crop[ys][:, xs].astype(np.float32)
+    x = resized / 127.5 - 1.0
+    if max_w is not None and new_w < max_w:
+        pad = np.repeat(x[:, -1:], max_w - new_w, axis=1)
+        x = np.concatenate([x, pad], axis=1)
+    return x
+
+
+class TorchCrnnRecognizer:
+    """recognize_probs(crop) -> [T, C] softmax matrix with blank at
+    index 0 — the same contract the stand-in's _frames_for_chunk
+    produces, so ocr/ctc.py decoders apply unchanged."""
+
+    def __init__(self, weights_path: str | None = None):
+        from . import weights_dir
+
+        path = weights_path or os.path.join(weights_dir(), "english_g2.pth")
+        self.model = load_weights(build_model(), path)
+        self.charset = EN_G2_CHARSET
+
+    def recognize_probs(self, crop: np.ndarray) -> np.ndarray:
+        import torch
+
+        x = normalize_pad(crop)[None, None]  # [1, 1, H, W]
+        with torch.no_grad():
+            logits = self.model(torch.from_numpy(x))[0]  # [T, C]
+            probs = torch.softmax(logits, dim=1).numpy()
+        return probs
+
+    def recognize(self, crop: np.ndarray, decoder: str = "greedy",
+                  ignore: np.ndarray | None = None) -> tuple[str, float]:
+        from ..ctc import (
+            ctc_beam_search,
+            custom_mean,
+            decode_greedy,
+            greedy_collapse,
+        )
+        from ..recognition import _apply_ignore
+
+        probs = _apply_ignore(self.recognize_probs(crop), ignore)
+        if decoder == "beamsearch":
+            text, _ = ctc_beam_search(probs, self.charset)
+        else:
+            text, _ = decode_greedy(probs, self.charset)
+        _, confs = greedy_collapse(probs)
+        return text, custom_mean(confs) if confs.size else 0.0

@@ -69,34 +69,46 @@ def word_beam_search(
     charset: str,
     dictionary: list[str],
     beam_width: int = 5,
-    max_dist: int = 2,
+    max_candidate: int = 20,
 ) -> tuple[str, float]:
-    """Dictionary-constrained decode: beam-search the segment, then
-    re-rank against the word dictionary (reference decode_wordbeamsearch,
-    easyocr/utils.py:352-384: per-word-segment beam search with dict).
-    If the beam output is within max_dist edits of a dictionary word,
-    snap to the closest word (ties: first in dictionary order)."""
-    text, p = ctc_beam_search(probs, charset, beam_width)
-    if not text or text in dictionary:
-        return text, p
-    best, bd = None, max_dist + 1
-    for w in dictionary:
-        d = edit_distance(text, w)
-        if d < bd:
-            best, bd = w, d
-    if best is not None:
-        return best, p
-    return text, p
+    """Dictionary-constrained decode with the reference's exact
+    semantics (decode_wordbeamsearch easyocr/utils.py:352-384 +
+    BeamState.wordsearch :88-108): the matrix passed in is already ONE
+    space-separated segment — segmentation happens upstream at the
+    word gaps (recognize_crop's chunk split plays the role of the
+    no-separator branch's argwhere(argmax != space) timestep split) —
+    beam-search it, walk the final beam candidates in probability
+    order, and snap to the FIRST candidate that is a dictionary word.
+    If no candidate is in the dictionary, the top beam wins unchanged
+    (the reference returns best_text from candidate 0 — NOT a nearest-
+    word snap)."""
+    cands = ctc_beam_candidates(probs, charset, beam_width)[:max_candidate]
+    if not cands:
+        return "", 0.0
+    for text, p in cands:
+        if text in dictionary:
+            return text, p
+    return cands[0]
 
 
 def ctc_beam_search(
     probs: np.ndarray, charset: str, beam_width: int = 5
 ) -> tuple[str, float]:
+    """CTC prefix beam search -> best (text, prob)."""
+    cands = ctc_beam_candidates(probs, charset, beam_width)
+    return cands[0] if cands else ("", 0.0)
+
+
+def ctc_beam_candidates(
+    probs: np.ndarray, charset: str, beam_width: int = 5
+) -> list[tuple[str, float]]:
     """CTC prefix beam search (log-free, probabilities like the
-    reference). State per beam: (labeling tuple) -> (p_blank, p_nonblank).
+    reference) returning ALL final beams ranked by total probability —
+    the candidate list wordsearch walks. State per beam:
+    (labeling tuple) -> (p_blank, p_nonblank).
     """
     if probs.size == 0:
-        return "", 0.0
+        return []
     beams: dict[tuple, tuple[float, float]] = {(): (1.0, 0.0)}
     T, C = probs.shape
     for t in range(T):
@@ -127,6 +139,8 @@ def ctc_beam_search(
                 :beam_width
             ]
         )
-    best, (pb, pnb) = max(beams.items(), key=lambda kv: kv[1][0] + kv[1][1])
-    text = "".join(charset[i - 1] for i in best)
-    return text, float(pb + pnb)
+    ranked = sorted(beams.items(), key=lambda kv: kv[1][0] + kv[1][1], reverse=True)
+    return [
+        ("".join(charset[i - 1] for i in lab), float(pb + pnb))
+        for lab, (pb, pnb) in ranked
+    ]

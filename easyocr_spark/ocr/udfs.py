@@ -23,28 +23,42 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from ..fixtures.png import decode_gray
+from ..fixtures.png import decode_gray, decode_image
 from .reader import StandInReader
 
 OCR_RESULT_SCHEMA = "media_ref string, text string, conf double, n_boxes int"
 
-_READERS: dict[str, StandInReader] = {}
+_READERS: dict[tuple, object] = {}
 
 
-def get_reader(decoder: str = "greedy") -> StandInReader:
+def get_reader(decoder: str = "greedy", allowlist: str | None = None):
     """Executor-resident singleton per decoder config (the reference's
-    one-Reader-per-config pattern, easyocr/easyocr.py:214-233)."""
-    if decoder not in _READERS:
-        _READERS[decoder] = StandInReader(decoder=decoder)
-    return _READERS[decoder]
+    one-Reader-per-config pattern, easyocr/easyocr.py:214-233).
+
+    Backend selection (EASYOCR_SPARK_BACKEND=torch) happens here, once
+    per worker process: the torch path loads the real CRAFT/CRNN
+    weights (ocr/backends/) when torch + .pth files are present, and
+    falls back to the deterministic stand-in loudly otherwise — the
+    sandbox default and the path the oracles verify."""
+    key = (decoder, allowlist)
+    if key not in _READERS:
+        from .backends import make_torch_reader, resolve_backend
+
+        if resolve_backend() == "torch":
+            _READERS[key] = make_torch_reader(decoder=decoder, allowlist=allowlist)
+        else:
+            _READERS[key] = StandInReader(decoder=decoder, allowlist=allowlist)
+    return _READERS[key]
 
 
-def make_ocr_batches(decoder: str):
+def make_ocr_batches(decoder: str, allowlist: str | None = None):
     """Kernel factory for non-default decoders (beamsearch /
-    wordbeamsearch, reference easyocr/utils.py:181-384)."""
+    wordbeamsearch, reference easyocr/utils.py:181-384) and for
+    allowlist-masked recognition (reference easyocr/easyocr.py:363-368:
+    allowlist -> ignore set pushed into the softmax columns)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _ocr_batches_impl(it, decoder)
+        return _ocr_batches_impl(it, decoder, allowlist)
 
     return kernel
 
@@ -53,12 +67,14 @@ def ocr_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     return _ocr_batches_impl(it, "greedy")
 
 
-def _ocr_batches_impl(it: Iterator[pd.DataFrame], decoder: str) -> Iterator[pd.DataFrame]:
+def _ocr_batches_impl(
+    it: Iterator[pd.DataFrame], decoder: str, allowlist: str | None = None
+) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (media_ref, content[, lang]) ->
     OCR_RESULT_SCHEMA. The lang column routes RTL post-processing
     (Arabic word order within lines — the reference's bidi reordering,
     easyocr/easyocr.py:414-418)."""
-    reader = get_reader(decoder)
+    reader = get_reader(decoder, allowlist)
     for pdf in it:
         texts: list[str] = []
         confs: list[float] = []
@@ -163,3 +179,21 @@ def dims_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 DIMS_RESULT_SCHEMA = "media_ref string, width int, height int"
+
+
+def channels_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode-branch probe: (media_ref, content) -> source channel
+    count + dims. Verifies the color (truecolor PNG -> BT.601 gray)
+    ingest branch against the formula oracle — the reformat_input
+    normalization matrix (reference easyocr/utils.py:732-769)."""
+    for pdf in it:
+        rows = []
+        for ref, data in zip(pdf["media_ref"], pdf["content"]):
+            img, ch = decode_image(bytes(data))
+            rows.append((ref, ch, img.shape[1], img.shape[0]))
+        yield pd.DataFrame(
+            rows, columns=["media_ref", "channels", "width", "height"]
+        )
+
+
+CHANNELS_RESULT_SCHEMA = "media_ref string, channels int, width int, height int"

@@ -98,6 +98,21 @@ def duckdb_windowed_sql(minutes: int = WINDOW_MIN) -> str:
     """
 
 
+def duckdb_windowed_append_sql(
+    minutes: int = WINDOW_MIN, watermark_s: int = 600
+) -> str:
+    """Oracle for the append-mode streaming windowed agg: the batch
+    windowed counts restricted to CLOSED windows — window_end <=
+    max(ts) - watermark. Windows still inside the watermark horizon
+    when the finite stream drains are unemitted by append mode."""
+    secs = minutes * 60
+    return f"""
+    WITH w AS ({duckdb_windowed_sql(minutes)}),
+    m AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS mt FROM events)
+    SELECT w.* FROM w, m WHERE w.window_start_s + {secs} <= m.mt - {watermark_s}
+    """
+
+
 def asof_prior_event(
     events: DataFrame, probe_type: str = "click", ref_type: str = "view"
 ) -> DataFrame:

@@ -22,7 +22,12 @@ import os
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..fixtures.corpus import SPARK_INTERLEAVED_SQL, media_spec, render_media
+from ..fixtures.corpus import (
+    MEDIA_SPEC_VERSION,
+    SPARK_INTERLEAVED_SQL,
+    media_spec,
+    render_media,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -93,7 +98,13 @@ def media_table(
     Python at the Spark boundary), cached as parquet per scale factor.
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    suffix = f"media_x{replicate}.parquet" if replicate > 1 else "media.parquet"
+    # version-stamped cache dir: a render-spec change must never read a
+    # stale cache rendered by an older spec
+    suffix = (
+        f"media_v{MEDIA_SPEC_VERSION}_x{replicate}.parquet"
+        if replicate > 1
+        else f"media_v{MEDIA_SPEC_VERSION}.parquet"
+    )
     cache_path = os.path.join(CACHE_ROOT, sf_name, suffix)
     if cache and os.path.exists(os.path.join(cache_path, "_SUCCESS")):
         return spark.read.parquet(cache_path)

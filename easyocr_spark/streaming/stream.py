@@ -78,6 +78,62 @@ def streaming_windowed_counts(
     return result
 
 
+def streaming_windowed_append(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Append-mode streaming windowed agg written to FILES — the
+    bounded-state production shape: a window's state is emitted and
+    EVICTED once the watermark passes its end, so state size is bounded
+    by the watermark horizon instead of growing with the stream (the
+    complete-mode memory-sink twin above retains every window forever —
+    fine for parity tests, not at scale).
+
+    Returns the files read back. Contract: the final file contents
+    equal the batch windowed aggregation restricted to CLOSED windows
+    (window_end <= max(ts) - watermark) — windows still inside the
+    watermark horizon when the stream drains are (correctly) unemitted."""
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts_tz", watermark)
+        .groupBy(F.window("ts_tz", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.sum("value") * 1000).cast("long").alias("value_sum_milli"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "value_sum_milli",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stream_extract_foreachbatch(
     spark: SparkSession,
     docs_path: str,

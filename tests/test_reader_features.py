@@ -55,21 +55,51 @@ def test_rotation_tta_recovers_rotated_text():
     assert "SPARK" in texts
 
 
-def test_word_beam_search_snaps_to_dictionary():
-    # probs spelling 'HELO' (one L dropped) should snap to HELLO
-    def frame(ch, p=0.9):
-        v = np.full(len(CHARSET) + 1, (1 - p) / len(CHARSET))
-        v[CHARSET.index(ch) + 1] = p
-        return v
+def _frame(ch, p=0.9, second=None, p2=0.0):
+    v = np.full(len(CHARSET) + 1, (1 - p - p2) / len(CHARSET))
+    v[CHARSET.index(ch) + 1] = p
+    if second is not None:
+        v[CHARSET.index(second) + 1] = p2
+    return v
 
-    blank = np.zeros(len(CHARSET) + 1)
-    blank[0] = 1.0
-    seq = []
-    for ch in "HELO":
-        seq += [frame(ch), blank.copy()]
+
+def _blank():
+    v = np.zeros(len(CHARSET) + 1)
+    v[0] = 1.0
+    return v
+
+
+def test_word_beam_search_picks_indict_candidate():
+    """Reference wordsearch semantics (easyocr/utils.py:88-108): walk
+    beam candidates by probability, return the first dictionary member.
+    Ambiguous 2nd char (X slightly beats E) -> raw beam top is the
+    off-dict 'HXLLO', but 'HELLO' is a beam candidate and in-dict, so
+    wordbeam snaps while plain beam does not."""
+    seq = [
+        _frame("H"), _blank(),
+        _frame("X", p=0.5, second="E", p2=0.45), _blank(),
+        _frame("L"), _blank(), _frame("L"), _blank(),
+        _frame("O"), _blank(),
+    ]
     probs = np.stack(seq)
-    text, _ = word_beam_search(probs, CHARSET, corpus.VOCAB)
+    from easyocr_spark.ocr.ctc import ctc_beam_search
+
+    raw, _ = ctc_beam_search(probs, CHARSET)
+    assert raw == "HXLLO"
+    text, _ = word_beam_search(probs, CHARSET, ["HELLO", "WORLD"])
     assert text == "HELLO"
+
+
+def test_word_beam_search_no_dict_candidate_returns_top_beam():
+    """Off-dictionary render with no in-dict beam candidate returns the
+    raw beam output UNCHANGED (the reference returns best_text, it does
+    NOT nearest-word snap)."""
+    seq = []
+    for ch in "HELO":  # one L dropped; 'HELLO' has prob 0 here
+        seq += [_frame(ch), _blank()]
+    probs = np.stack(seq)
+    text, _ = word_beam_search(probs, CHARSET, ["HELLO", "WORLD"])
+    assert text == "HELO"
 
 
 def test_edit_distance():
@@ -94,3 +124,25 @@ def test_paragraph_separates_distant_blocks():
     ]
     out = get_paragraph(results)
     assert len(out) == 2
+
+
+def test_allowlist_masks_lowercase_classes():
+    """Case semantics are non-trivial: a lowercase render decoded under
+    an uppercase-only allowlist must produce a DIFFERENT (all-allowed)
+    string than the unmasked decode — masking is load-bearing."""
+    img = render.render_text([["hello"]], scale=2)
+    plain = StandInReader().readtext_text(img)
+    assert plain == "hello"
+    masked = StandInReader(
+        allowlist="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    ).readtext_text(img)
+    assert masked != "hello"
+    assert masked == masked.upper() or all(
+        c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 " for c in masked
+    )
+
+
+def test_mixed_case_and_punct_vocab_roundtrip():
+    for word in ["Hello", "world", "Coffee!", "summer?", "Moose.", "x42"]:
+        img = render.render_text([[word]], scale=2)
+        assert StandInReader().readtext_text(img) == word

@@ -93,3 +93,21 @@ def test_streaming_foreachbatch_incremental(spark, docs, media, tmpdirs):
     # re-run with same checkpoint: no new files -> no new batches
     n2 = stream.stream_extract_foreachbatch(spark, src, media, out_dir, ckpt + "/c")
     assert spark.read.parquet(out_dir).count() == count1
+
+
+def test_streaming_append_matches_closed_windows(spark, tmp_path):
+    ev_path = os.path.join(SF, "events.parquet")
+    got = stream.streaming_windowed_append(
+        spark, ev_path, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    ev = spark.read.parquet(ev_path)
+    max_ts = ev.select(
+        F.max(F.unix_seconds(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    closed = events.windowed_counts(ev).filter(
+        F.col("window_start_s") + 300 <= max_ts - 600
+    )
+    assert got.exceptAll(closed).count() == 0
+    assert closed.exceptAll(got).count() == 0
+    # bounded state: some open windows must exist and be unemitted
+    assert events.windowed_counts(ev).count() > got.count()

@@ -1,0 +1,137 @@
+"""Torch backend tests.
+
+The fallback/selection logic runs everywhere; the model-structure tests
+mirror the reference's unit_test strategy (make_test_solution.py:115-183
+get_textbox, :360-440 get_text) but require torch and so skip cleanly
+in this sandbox (no torch installed). When torch IS available they
+assert: (a) the module trees accept the published checkpoints' key
+namespaces via the remap, (b) forward shapes honor the CRAFT half-res
+2-channel and CRNN [T, C] contracts.
+"""
+
+import numpy as np
+import pytest
+
+from easyocr_spark.ocr import backends
+from easyocr_spark.ocr.backends import torch_craft, torch_crnn
+
+
+def test_resolve_backend_default_standin(monkeypatch):
+    monkeypatch.delenv("EASYOCR_SPARK_BACKEND", raising=False)
+    assert backends.resolve_backend() == "standin"
+
+
+def test_resolve_backend_falls_back_without_torch_or_weights(monkeypatch, tmp_path):
+    monkeypatch.setenv("EASYOCR_SPARK_BACKEND", "torch")
+    monkeypatch.setenv("EASYOCR_SPARK_WEIGHTS_DIR", str(tmp_path))  # empty
+    backends._WARNED = False
+    with pytest.warns(UserWarning, match="falling back"):
+        assert backends.resolve_backend() == "standin"
+
+
+def test_craft_key_remap_covers_reference_namespace():
+    # key names as they appear in craft_mlt_25k.pth (easyocr/craft.py
+    # module tree); the remap must translate every family
+    cases = {
+        "basenet.slice1.0.weight": "stages.0.0.weight",
+        "basenet.slice1.1.running_mean": "stages.0.1.running_mean",
+        "basenet.slice2.12.weight": "stages.1.0.weight",
+        "basenet.slice3.19.bias": "stages.2.0.bias",
+        "basenet.slice4.29.weight": "stages.3.0.weight",
+        "basenet.slice5.1.weight": "neck.1.weight",
+        "upconv1.conv.0.weight": "up1.block.0.weight",
+        "upconv4.conv.4.running_var": "up4.block.4.running_var",
+        "conv_cls.0.weight": "head.0.weight",
+        "conv_cls.8.bias": "head.8.bias",
+        "module.conv_cls.8.bias": "head.8.bias",  # DataParallel prefix
+    }
+    for ck, want in cases.items():
+        assert torch_craft.remap_key(ck) == want, ck
+
+
+def test_crnn_key_remap_covers_reference_namespace():
+    cases = {
+        "FeatureExtraction.ConvNet.0.weight": "features.0.weight",
+        "FeatureExtraction.ConvNet.18.running_mean": "features.18.running_mean",
+        "SequenceModeling.0.rnn.weight_ih_l0": "seq.0.rnn.weight_ih_l0",
+        "SequenceModeling.1.linear.bias": "seq.1.proj.bias",
+        "Prediction.weight": "head.weight",
+        "module.Prediction.bias": "head.bias",
+    }
+    for ck, want in cases.items():
+        assert torch_crnn.remap_key(ck) == want, ck
+
+
+def test_normalize_pad_shape_and_range():
+    crop = np.full((32, 100), 255, dtype=np.uint8)
+    crop[10:20, 10:90] = 0
+    x = torch_crnn.normalize_pad(crop)
+    assert x.shape[0] == torch_crnn.IMG_H
+    assert x.shape[1] == round(100 * torch_crnn.IMG_H / 32)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    padded = torch_crnn.normalize_pad(crop, max_w=500)
+    assert padded.shape[1] == 500
+
+
+# ----------------------------------------------------- torch-only tests
+needs_torch = pytest.mark.skipif(
+    not backends.torch_available(), reason="torch not installed in this image"
+)
+if backends.torch_available():
+    import torch
+
+
+@needs_torch
+def test_craft_forward_contract():
+    model = torch_craft.build_model()
+    x = torch.zeros(1, 3, 64, 96)
+    y = model(x)
+    assert tuple(y.shape) == (1, 2, 32, 48)  # 2 channels at half res
+
+
+@needs_torch
+def test_craft_loads_reference_shaped_state_dict():
+    """Round-trip: rename this module's state dict into the published
+    checkpoint's key namespace, then load_weights must accept it
+    strictly — proves the remap covers every parameter both ways."""
+    model = torch_craft.build_model()
+    ref_state = {}
+    for mk, v in model.state_dict().items():
+        found = None
+        for candidate in _reference_keys_for(mk):
+            if torch_craft.remap_key(candidate) == mk:
+                found = candidate
+                break
+        assert found, mk
+        ref_state[found] = v
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        torch.save(ref_state, f.name)
+        torch_craft.load_weights(torch_craft.build_model(), f.name)
+
+
+def _reference_keys_for(mk: str) -> list[str]:
+    out = []
+    if mk.startswith("stages."):
+        _, n, idx, rest = mk.split(".", 3)
+        base = torch_craft._SLICES[int(n)][0]
+        out.append(f"basenet.slice{int(n)+1}.{int(idx)+base}.{rest}")
+    elif mk.startswith("neck."):
+        out.append("basenet.slice5." + mk[len("neck."):])
+    elif mk.startswith("up"):
+        i = mk[2]
+        out.append(f"upconv{i}.conv." + mk.split(".", 2)[2])
+    elif mk.startswith("head."):
+        out.append("conv_cls." + mk[len("head."):])
+    return out
+
+
+@needs_torch
+def test_crnn_forward_contract():
+    model = torch_crnn.build_model()
+    x = torch.zeros(1, 1, torch_crnn.IMG_H, 128)
+    y = model(x)
+    assert y.shape[0] == 1
+    assert y.shape[2] == len(torch_crnn.EN_G2_CHARSET) + 1
+    assert y.shape[1] > 1  # a real time axis
