@@ -90,7 +90,9 @@ def q_detect_box_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified numerically against the renderer-geometry oracle."""
     refs = _distinct_media(spark, sf_dir)
     det = refs.mapInPandas(udfs.detect_batches, schema=udfs.DETECT_RESULT_SCHEMA)
-    nonempty = det.filter(F.col("n_boxes") > 0)
+    # size(boxes), not n_boxes: slanted refs detect free quads only —
+    # n_boxes counts them but the flat horizontal-box array is empty
+    nonempty = det.filter(F.size("boxes") > 0)
     quads = F.transform(
         F.sequence(F.lit(0), (F.size("boxes") / 4).cast("int") - 1),
         lambda i: F.struct(
@@ -109,6 +111,22 @@ def q_detect_box_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.x_max").alias("x_max"),
         F.col("q.y_min").alias("y_min"),
         F.col("q.y_max").alias("y_max"),
+    )
+
+
+def q_detect_slanted_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-text detection end-to-end: slanted-class media must come
+    out of detect() as FREE quads (rotated 4-point boxes, the
+    cv2.minAreaRect role) whose corner coordinates — including the
+    free-path margin expansion — match the renderer-geometry oracle in
+    deci-pixels."""
+    a = "CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    refs = _distinct_media(spark, sf_dir).filter(
+        F.expr(corpus.duckdb_slant_pred(a, b))
+    )
+    return refs.mapInPandas(
+        udfs.detect_free_batches, schema=udfs.DETECT_FREE_SCHEMA
     )
 
 
@@ -331,6 +349,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_documents_text": q_extract_documents_text,
         "detect_boxes": q_detect_boxes,
         "detect_box_geometry": q_detect_box_geometry,
+        "detect_slanted_geometry": q_detect_slanted_geometry,
         "ocr_results": q_ocr_results,
         "ocr_results_beamsearch": q_ocr_results_beamsearch,
         "ocr_results_wordbeam": q_ocr_results_wordbeam,
@@ -392,6 +411,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ({DUCK_DISTINCT_REFS})
         """,
         "detect_box_geometry": corpus.duckdb_box_geometry_sql(DUCK_DISTINCT_REFS),
+        "detect_slanted_geometry": corpus.duckdb_slanted_geometry_sql(
+            DUCK_DISTINCT_REFS
+        ),
         "ocr_results": f"""
             SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
         """,

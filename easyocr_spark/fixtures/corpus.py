@@ -41,8 +41,11 @@ from .render import render_text, render_tiny
 
 # bump when render_media output changes (media_table caches renders per
 # scale factor under /tmp; a stale cache would silently pin old pixels)
-# v2: color media class; v3: mixed-case/punctuated vocab
-MEDIA_SPEC_VERSION = 3
+# v2: color media class; v3: mixed-case/punctuated vocab; v4: slanted class
+MEDIA_SPEC_VERSION = 4
+
+# staircase slant: glyph g of a slanted word drops g * SLANT_DY base px
+SLANT_DY = 2
 
 # RGB ink colors for the color media class, one per a % 3. All three
 # convert to dark luma under the decoder's fixed-point BT.601
@@ -89,6 +92,15 @@ def media_spec(media_ref: str) -> dict:
         for line in range(n_lines)
     ]
     low_contrast = (a + b) % 7 == 0
+    # slanted class: single-line, full-contrast refs where every word
+    # renders as a glyph staircase -> the detector must emit rotated
+    # quads and recognition must go through the free-box path
+    slanted = (
+        (not tiny)
+        and (not low_contrast)
+        and n_lines == 1
+        and (a + 5 * b) % 6 == 3
+    )
     return {
         "tiny": tiny,
         "low_contrast": low_contrast,
@@ -96,6 +108,7 @@ def media_spec(media_ref: str) -> dict:
         # reformat_input color branch, reference easyocr/utils.py:732-769);
         # disjoint from tiny/low-contrast so those classes stay pure gray
         "color": (not tiny) and (not low_contrast) and (a + b) % 5 == 1,
+        "slant_dy": SLANT_DY if slanted else 0,
         "scale": 2 + 2 * ((a + b) % 2),
         "lines": lines,
         "lang": LANGS[a % 3],
@@ -125,7 +138,12 @@ def render_media(media_ref: str) -> bytes:
     if spec["tiny"]:
         img = render_tiny()
     else:
-        img = render_text(spec["lines"], spec["scale"], spec["low_contrast"])
+        img = render_text(
+            spec["lines"],
+            spec["scale"],
+            spec["low_contrast"],
+            slant_dy=spec["slant_dy"],
+        )
     if spec["color"]:
         a, _ = parse_ref(media_ref)
         ink = np.array(COLOR_INKS[a % 3], dtype=np.uint8)
@@ -280,6 +298,76 @@ def duckdb_word_count_expr(ref_col: str) -> str:
     END"""
 
 
+def duckdb_slant_pred(a: str, b: str) -> str:
+    """SQL predicate (valid in both dialects) for the slanted class —
+    mirrors media_spec: non-tiny, full-contrast, single-line,
+    (a + 5b) % 6 == 3."""
+    return (
+        f"((7*({a}) + ({b})) % 23 <> 0 AND (({a}) + ({b})) % 7 <> 0 "
+        f"AND (({a}) + 2*({b})) % 2 = 0 AND (({a}) + 5*({b})) % 6 = 3)"
+    )
+
+
+def duckdb_slanted_geometry_sql(refs_sql: str) -> str:
+    """Expected FREE-quad corners per slanted media_ref in reading
+    order, in deci-pixels (x10, rounded): (media_ref, box_idx,
+    x0d..y3d). Mirrors the full slanted chain: staircase layout ->
+    half-res cell-top quantization (exact: all boundaries even-aligned)
+    -> x2 rescale -> group_text_box's free-path margin expansion
+    (q = p + sign(p - ctr) * 0.1*h, reference easyocr/utils.py:463-481)
+    with its float arithmetic reproduced verbatim (0.1*h is the same
+    IEEE double in both engines; outputs are rounded deci-pixels so the
+    comparison is integer-exact)."""
+    a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    v = _vocab_sql()
+    return f"""
+    WITH refs AS (
+      SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
+      WHERE {duckdb_slant_pred(a, b)}
+    ),
+    geo AS (
+      SELECT media_ref, a, b, (2 + 2*((a + b) % 2)) AS s,
+             ((a + 3*b) % 3 + 1) AS n_w
+      FROM refs
+    ),
+    words AS (
+      SELECT media_ref, s, CAST(j AS BIGINT) AS box_idx,
+             length(list_extract({v},
+                 CAST((a*31 + b*17 + j*7) % 64 + 1 AS INT))) AS len_j,
+             (6 * length(list_extract({v},
+                 CAST((a*31 + b*17 + j*7) % 64 + 1 AS INT))) - 1) AS w_ink,
+             CAST(list_sum(list_prepend(0::BIGINT,
+               list_transform(range(0, CAST(j AS BIGINT)), k ->
+                 6 * length(list_extract({v},
+                   CAST((a*31 + b*17 + k*7) % 64 + 1 AS INT))) - 1 + 9)))
+               AS BIGINT) AS x_off
+      FROM geo, UNNEST(range(n_w)) AS t(j)
+    ),
+    pre AS (
+      SELECT media_ref, box_idx,
+             ((4 + x_off) * s)::DOUBLE AS xl,
+             ((4 + x_off + w_ink) * s)::DOUBLE AS xr,
+             (4 * s)::DOUBLE AS t0,
+             ((len_j - 1) * {SLANT_DY} * s)::DOUBLE AS dd,
+             (7 * s)::DOUBLE AS h,
+             0.1 * (7 * s)::DOUBLE AS m,
+             CASE WHEN (len_j - 1) * {SLANT_DY} > 7 THEN 1 ELSE -1 END AS sgn
+      FROM words
+    )
+    SELECT media_ref, CAST(box_idx AS INT) AS box_idx,
+           CAST(round((xl - m) * 10) AS BIGINT) AS x0d,
+           CAST(round((t0 - m) * 10) AS BIGINT) AS y0d,
+           CAST(round((xr + m) * 10) AS BIGINT) AS x1d,
+           CAST(round((t0 + dd + sgn * m) * 10) AS BIGINT) AS y1d,
+           CAST(round((xr + m) * 10) AS BIGINT) AS x2d,
+           CAST(round((t0 + dd + h + m) * 10) AS BIGINT) AS y2d,
+           CAST(round((xl - m) * 10) AS BIGINT) AS x3d,
+           CAST(round((t0 + h - sgn * m) * 10) AS BIGINT) AS y3d
+    FROM pre
+    """
+
+
 def duckdb_box_geometry_sql(refs_sql: str) -> str:
     """Expected detection boxes per non-tiny media_ref, reading order:
     (media_ref, box_idx, x_min, x_max, y_min, y_max).
@@ -297,6 +385,7 @@ def duckdb_box_geometry_sql(refs_sql: str) -> str:
     WITH refs AS (
       SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
       WHERE (7*{a} + {b}) % 23 <> 0
+        AND NOT {duckdb_slant_pred(a, b)}
     ),
     geo AS (
       SELECT media_ref, a, b,
@@ -355,8 +444,16 @@ def duckdb_dims_exprs(ref_col: str) -> tuple[str, str]:
         f"CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 16 "
         f"ELSE CAST((8 + {line_w}) * {scale} AS INT) END"
     )
+    # slanted refs (single-line) grow by the longest word's staircase
+    max_len = (
+        f"list_max(list_transform(range(0, (({a}) + 3*({b})) % 3 + 1), "
+        f"j -> length(list_extract({_vocab_sql()}, "
+        f"CAST((({a})*31 + ({b})*17 + j*7) % 64 + 1 AS INT)))))"
+    )
     height = (
         f"CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 14 "
+        f"WHEN {duckdb_slant_pred(a, b)} "
+        f"THEN CAST((8 + 7 + ({max_len} - 1) * {SLANT_DY}) * {scale} AS INT) "
         f"ELSE CAST((8 + {n_lines} * 7 + ({n_lines} - 1) * 4) * {scale} AS INT) END"
     )
     return width, height

@@ -39,25 +39,48 @@ def line_width(words: list[str]) -> int:
     return sum(word_width(w) for w in words) + (len(words) - 1) * (WORD_GAP + 1)
 
 
+def line_height(words: list[str], slant_dy: int) -> int:
+    """Ink height of a rendered line: GLYPH_H, plus the staircase drop
+    of the line's longest word when slanted."""
+    if slant_dy == 0:
+        return GLYPH_H
+    return GLYPH_H + (max(len(w) for w in words) - 1) * slant_dy
+
+
 def render_text(
-    lines: list[list[str]], scale: int = 2, low_contrast: bool = False
+    lines: list[list[str]],
+    scale: int = 2,
+    low_contrast: bool = False,
+    slant_dy: int = 0,
 ) -> np.ndarray:
-    """Render lines of words -> uint8[H, W] grayscale image."""
+    """Render lines of words -> uint8[H, W] grayscale image.
+
+    ``slant_dy`` > 0 renders SLANTED words: glyph g of each word drops
+    g * slant_dy base px below the word's baseline (a glyph-granular
+    staircase — each glyph itself stays upright, so the inverse shear
+    is pixel-exact). Slope = slant_dy / CELL_W per word, well above the
+    grouping slope_ths, so these words route through the free-box
+    (rotated-quad) pipeline end to end."""
     ink, bg = (LOW_INK, LOW_BG) if low_contrast else (INK, BG)
     w = 2 * MARGIN + max(line_width(ws) for ws in lines)
-    h = 2 * MARGIN + len(lines) * GLYPH_H + (len(lines) - 1) * LINE_GAP
+    h = (
+        2 * MARGIN
+        + sum(line_height(ws, slant_dy) for ws in lines)
+        + (len(lines) - 1) * LINE_GAP
+    )
     img = np.full((h, w), bg, dtype=np.uint8)
     y = MARGIN
     for words in lines:
         x = MARGIN
         for word in words:
-            for ch in word:
+            for g_idx, ch in enumerate(word):
                 g = ATLAS[ch]
-                img[y : y + GLYPH_H, x : x + GLYPH_W][g == 1] = ink
+                gy = y + g_idx * slant_dy
+                img[gy : gy + GLYPH_H, x : x + GLYPH_W][g == 1] = ink
                 x += CELL_W
             # x is now one spacing col past the word's last glyph col
             x += WORD_GAP
-        y += GLYPH_H + LINE_GAP
+        y += line_height(words, slant_dy) + LINE_GAP
     if scale != 1:
         img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
     return img

@@ -206,6 +206,7 @@ def get_det_boxes(
     np.maximum.at(ix1, labs, xs)
     np.minimum.at(iy0, labs, ys)
     np.maximum.at(iy1, labs, ys)
+    text_mask = text_score & (labels > 0)
     boxes: list[np.ndarray] = []
     for k in range(1, n + 1):
         if area[k] < MIN_AREA:
@@ -215,6 +216,15 @@ def get_det_boxes(
         if ix1[k] < 0:  # no text pixels in this component
             continue
         x0, x1, y0, y1 = int(ix0[k]), int(ix1[k]), int(iy0[k]), int(iy1[k])
+        quad = _slanted_quad(
+            text_mask[y0 : y1 + 1, x0 : x1 + 1]
+            & (labels[y0 : y1 + 1, x0 : x1 + 1] == k),
+            x0,
+            y0,
+        )
+        if quad is not None:
+            boxes.append(quad)
+            continue
         # clockwise from top-left, the reference's coordinate contract
         # (easyocr/craft_utils.py:79-81)
         boxes.append(
@@ -224,6 +234,46 @@ def get_det_boxes(
             )
         )
     return boxes
+
+
+def _slanted_quad(sub: np.ndarray, x0: int, y0: int) -> np.ndarray | None:
+    """Min-area-style quad for a SLANTED component, or None if the
+    component is upright (the role of cv2.minAreaRect in reference
+    craft_utils.py:66-83: slanted components get a rotated 4-point box
+    instead of the axis-aligned rectangle).
+
+    Slant is measured at glyph-cell granularity: the component's text
+    columns split into cell runs at blank columns (exact at any integer
+    render scale — cell boundaries stay even-aligned through the
+    half-res pooling); if the last cell's top differs from the first
+    cell's top, the component is a staircase-slanted word and the quad
+    is the parallelogram [(x0, t_first), (x1, t_last),
+    (x1, t_last + h), (x0, t_first + h)] with h = the first cell's ink
+    height. Upright components (t_last == t_first) return None and keep
+    the tight-rectangle path — zero behavior change for them."""
+    col_any = sub.any(axis=0)
+    if not col_any.any():
+        return None
+    padded = np.concatenate(([False], col_any, [False]))
+    d = np.diff(padded.astype(np.int8))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    if len(starts) < 2:
+        return None  # single cell: nothing to measure slant from
+    first = sub[:, starts[0] : ends[0]]
+    last = sub[:, starts[-1] : ends[-1]]
+    fy = np.nonzero(first.any(axis=1))[0]
+    ly = np.nonzero(last.any(axis=1))[0]
+    t_first, t_last = int(fy[0]), int(ly[0])
+    if t_first == t_last:
+        return None
+    h = int(fy[-1]) - t_first + 1
+    xl = float(x0)
+    xr = float(x0 + ends[-1])  # exclusive right edge, like x1 + 1
+    ya, yb = float(y0 + t_first), float(y0 + t_last)
+    return np.array(
+        [[xl, ya], [xr, yb], [xr, yb + h], [xl, ya + h]], dtype=np.float32
+    )
 
 
 def adjust_result_coordinates(

@@ -56,6 +56,60 @@ def four_point_transform(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
     return gray[ys, xs]
 
 
+INK_DARKNESS = 0.45  # same binarization rule recognition.py uses
+
+
+def deshear_crop(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """Pixel-exact unshear for staircase-slanted words (vertical-edged
+    parallelogram quads from the detector's _slanted_quad): crop the
+    quad's axis-aligned bbox, split ink columns into glyph-cell runs at
+    blank columns, and re-paste each run with its own ink top aligned
+    to a common baseline. Because glyphs are upright within the
+    staircase (only their vertical offset varies), this reconstructs
+    the unslanted word exactly — unlike a generic perspective warp,
+    which would resample (and distort) glyph pixels along the slant.
+    The reference handles slanted boxes by warping
+    (easyocr/utils.py:428-448 four_point_transform); the exact unshear
+    is the stand-in-faithful equivalent for its own staircase class."""
+    q = np.asarray(quad, dtype=np.float64)
+    h_img, w_img = gray.shape
+    x0 = max(0, int(np.floor(q[:, 0].min())))
+    x1 = min(w_img, int(np.ceil(q[:, 0].max())))
+    y0 = max(0, int(np.floor(q[:, 1].min())))
+    y1 = min(h_img, int(np.ceil(q[:, 1].max())))
+    crop = gray[y0:y1, x0:x1]
+    if crop.size == 0:
+        return crop
+    darkness = (255.0 - crop.astype(np.float32)) / 255.0
+    binary = darkness > INK_DARKNESS
+    col_any = binary.any(axis=0)
+    if not col_any.any():
+        return crop
+    padded = np.concatenate(([False], col_any, [False]))
+    d = np.diff(padded.astype(np.int8))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    heights = []
+    tops = []
+    for s, e in zip(starts, ends):
+        ys = np.nonzero(binary[:, s:e].any(axis=1))[0]
+        tops.append(int(ys[0]))
+        heights.append(int(ys[-1]) - int(ys[0]) + 1)
+    out_h = max(heights)
+    out = np.full((out_h, crop.shape[1]), crop.max(), dtype=gray.dtype)
+    for (s, e), top, hh in zip(zip(starts, ends), tops, heights):
+        out[:hh, s:e] = crop[top : top + hh, s:e]
+    return out
+
+
+def _is_vertical_edged(quad: np.ndarray) -> bool:
+    """True for parallelogram quads whose left/right edges are vertical
+    (the staircase-slant detector contract) — those unshear exactly;
+    arbitrary rotated quads fall back to the perspective warp."""
+    q = np.asarray(quad, dtype=np.float64)
+    return abs(q[0][0] - q[3][0]) < 1e-6 and abs(q[1][0] - q[2][0]) < 1e-6
+
+
 class StandInReader:
     """Deterministic Reader; constructor args mirror the reference's
     decision-tree outputs (language list -> model/charset routing,
@@ -122,7 +176,11 @@ class StandInReader:
             box = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
             results.append((box, text, conf))
         for quad in free_list:
-            crop = four_point_transform(gray, np.asarray(quad))
+            q = np.asarray(quad)
+            if _is_vertical_edged(q):
+                crop = deshear_crop(gray, q)
+            else:
+                crop = four_point_transform(gray, q)
             text, conf = self._decode_crop(crop, rotation_info)
             results.append(([list(p) for p in quad], text, conf))
         if paragraph:

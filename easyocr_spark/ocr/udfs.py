@@ -134,6 +134,36 @@ def detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 DETECT_RESULT_SCHEMA = "media_ref string, n_boxes int, boxes array<int>"
 
 
+def detect_free_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Free-list (rotated quad) detection stage: (media_ref, content) ->
+    one row per free quad with its 4 corners in DECI-pixels (x10,
+    rounded to int — the grouping margin arithmetic is float; rounded
+    deci-pixels make the oracle comparison integer-exact). Quads come
+    out in reading order (component raster order)."""
+    reader = get_reader()
+    for pdf in it:
+        rows = []
+        for ref, data in zip(pdf["media_ref"], pdf["content"]):
+            img = decode_gray(bytes(data))
+            _, free = reader.detect(img)
+            for i, quad in enumerate(free):
+                flat = [int(round(c * 10)) for p in quad for c in p]
+                rows.append((ref, i, *flat))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_ref", "box_idx",
+                "x0d", "y0d", "x1d", "y1d", "x2d", "y2d", "x3d", "y3d",
+            ],
+        )
+
+
+DETECT_FREE_SCHEMA = (
+    "media_ref string, box_idx int, x0d long, y0d long, x1d long, y1d long, "
+    "x2d long, y2d long, x3d long, y3d long"
+)
+
+
 PARAGRAPH_RESULT_SCHEMA = "media_ref string, n_paragraphs int, text string"
 
 

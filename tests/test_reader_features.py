@@ -146,3 +146,41 @@ def test_mixed_case_and_punct_vocab_roundtrip():
     for word in ["Hello", "world", "Coffee!", "summer?", "Moose.", "x42"]:
         img = render.render_text([[word]], scale=2)
         assert StandInReader().readtext_text(img) == word
+
+
+def test_slanted_class_routes_through_free_quads():
+    """Slanted media must detect as FREE quads (rotated-box path) and
+    recognize to ground truth via the exact unshear."""
+    slanted = [
+        f"m_{a}_{b}"
+        for a in range(40)
+        for b in range(3)
+        if corpus.media_spec(f"m_{a}_{b}")["slant_dy"] > 0
+    ][:4]
+    assert slanted, "slant class must be non-empty"
+    r = StandInReader()
+    for ref in slanted:
+        img = png.decode_gray(corpus.render_media(ref))
+        horizontal, free = r.detect(img)
+        assert horizontal == []
+        assert len(free) == len(corpus.ground_truth_text(ref).split())
+        rtl = corpus.media_spec(ref)["lang"] == "arabic"
+        assert r.readtext_text(img, rtl=rtl) == corpus.ground_truth_text(ref)
+
+
+def test_deshear_is_pixel_exact():
+    from easyocr_spark.ocr.reader import deshear_crop
+
+    upright = render.render_text([["SPARK"]], scale=2)
+    slanted = render.render_text([["SPARK"]], scale=2, slant_dy=2)
+    h, w = slanted.shape
+    quad = np.array([[0, 0], [w, h], [w, h], [0, 0]], dtype=float)
+    out = deshear_crop(slanted, np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], dtype=float))
+    # the desheared ink rows must equal the upright render's ink rows
+    up_ink = upright < 128
+    ys, xs = np.nonzero(up_ink)
+    up_tight = up_ink[ys.min():ys.max()+1, xs.min():xs.max()+1]
+    out_ink = out < 128
+    ys2, xs2 = np.nonzero(out_ink)
+    out_tight = out_ink[ys2.min():ys2.max()+1, xs2.min():xs2.max()+1]
+    assert np.array_equal(up_tight, out_tight)
