@@ -176,7 +176,8 @@ def get_det_boxes(
     text_threshold: float = TEXT_THRESHOLD,
     low_text: float = LOW_TEXT,
     link_threshold: float = LINK_THRESHOLD,
-) -> list[np.ndarray]:
+    estimate_num_chars: bool = False,
+):
     """Score maps -> list of 4-point boxes (float, half-res coords),
     following getDetBoxes_core (reference easyocr/craft_utils.py:20-85):
     threshold both maps, clip the sum, CC, area filter, max-region-score
@@ -208,6 +209,7 @@ def get_det_boxes(
     np.maximum.at(iy1, labs, ys)
     text_mask = text_score & (labels > 0)
     boxes: list[np.ndarray] = []
+    n_chars: list[int] = []
     for k in range(1, n + 1):
         if area[k] < MIN_AREA:
             continue
@@ -216,12 +218,17 @@ def get_det_boxes(
         if ix1[k] < 0:  # no text pixels in this component
             continue
         x0, x1, y0, y1 = int(ix0[k]), int(ix1[k]), int(iy0[k]), int(iy1[k])
-        quad = _slanted_quad(
+        sub = (
             text_mask[y0 : y1 + 1, x0 : x1 + 1]
-            & (labels[y0 : y1 + 1, x0 : x1 + 1] == k),
-            x0,
-            y0,
+            & (labels[y0 : y1 + 1, x0 : x1 + 1] == k)
         )
+        if estimate_num_chars:
+            # per-component character-count estimate: glyph-cell runs
+            # split at blank columns — the role of the reference's
+            # character-blob labeling (easyocr/craft_utils.py:46-49)
+            starts, _ = _column_runs(sub)
+            n_chars.append(max(1, len(starts)))
+        quad = _slanted_quad(sub, x0, y0)
         if quad is not None:
             boxes.append(quad)
             continue
@@ -233,31 +240,20 @@ def get_det_boxes(
                 dtype=np.float32,
             )
         )
+    if estimate_num_chars:
+        return boxes, n_chars
     return boxes
 
 
-def _slanted_quad(sub: np.ndarray, x0: int, y0: int) -> np.ndarray | None:
-    """Min-area-style quad for a SLANTED component, or None if the
-    component is upright (the role of cv2.minAreaRect in reference
-    craft_utils.py:66-83: slanted components get a rotated 4-point box
-    instead of the axis-aligned rectangle).
-
-    Slant is measured at glyph-cell granularity: the component's text
-    columns split into cell runs at blank columns (exact at any integer
-    render scale — cell boundaries stay even-aligned through the
-    half-res pooling); if the last cell's top differs from the first
-    cell's top, the component is a staircase-slanted word and the quad
-    is the parallelogram [(x0, t_first), (x1, t_last),
-    (x1, t_last + h), (x0, t_first + h)] with h = the first cell's ink
-    height. Upright components (t_last == t_first) return None and keep
-    the tight-rectangle path — zero behavior change for them."""
+def _column_runs(sub: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Runs of non-blank columns in a component window -> (starts, ends)."""
     col_any = sub.any(axis=0)
-    if not col_any.any():
-        return None
     padded = np.concatenate(([False], col_any, [False]))
     d = np.diff(padded.astype(np.int8))
-    starts = np.flatnonzero(d == 1)
-    ends = np.flatnonzero(d == -1)
+    return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+
+
+def _slanted_quad_runs(sub, starts, ends, x0, y0):
     if len(starts) < 2:
         return None  # single cell: nothing to measure slant from
     first = sub[:, starts[0] : ends[0]]
@@ -276,6 +272,27 @@ def _slanted_quad(sub: np.ndarray, x0: int, y0: int) -> np.ndarray | None:
     )
 
 
+def _slanted_quad(sub: np.ndarray, x0: int, y0: int) -> np.ndarray | None:
+    """Min-area-style quad for a SLANTED component, or None if the
+    component is upright (the role of cv2.minAreaRect in reference
+    craft_utils.py:66-83: slanted components get a rotated 4-point box
+    instead of the axis-aligned rectangle).
+
+    Slant is measured at glyph-cell granularity: the component's text
+    columns split into cell runs at blank columns (exact at any integer
+    render scale — cell boundaries stay even-aligned through the
+    half-res pooling); if the last cell's top differs from the first
+    cell's top, the component is a staircase-slanted word and the quad
+    is the parallelogram [(x0, t_first), (x1, t_last),
+    (x1, t_last + h), (x0, t_first + h)] with h = the first cell's ink
+    height. Upright components (t_last == t_first) return None and keep
+    the tight-rectangle path — zero behavior change for them."""
+    starts, ends = _column_runs(sub)
+    if len(starts) == 0:
+        return None
+    return _slanted_quad_runs(sub, starts, ends, x0, y0)
+
+
 def adjust_result_coordinates(
     boxes: list[np.ndarray], ratio: float, ratio_net: int = RATIO_NET
 ) -> list[np.ndarray]:
@@ -285,10 +302,26 @@ def adjust_result_coordinates(
     return [b * inv for b in boxes]
 
 
-def detect(gray: np.ndarray, canvas_size: int = 2560, mag_ratio: float = 1.0):
+def detect(
+    gray: np.ndarray,
+    canvas_size: int = 2560,
+    mag_ratio: float = 1.0,
+    optimal_num_chars: int | None = None,
+):
     """Full detect stage: resize -> score maps -> boxes -> rescale.
-    Returns list of 4-point float boxes in input pixel coords."""
+    Returns list of 4-point float boxes in input pixel coords.
+
+    ``optimal_num_chars`` set -> boxes are PRIORITIZED by how close
+    their estimated character count is to the target (reference
+    easyocr/detection.py:92-101: sorted(polys, key=|optimal - n|),
+    stable), instead of raster order — callers that process a box
+    budget first see the most promising boxes."""
     resized, ratio = resize_aspect_ratio(gray, canvas_size, mag_ratio)
     region, link = compute_score_maps(resized)
-    boxes = get_det_boxes(region, link)
+    if optimal_num_chars is None:
+        boxes = get_det_boxes(region, link)
+    else:
+        boxes, counts = get_det_boxes(region, link, estimate_num_chars=True)
+        order = sorted(range(len(boxes)), key=lambda i: abs(optimal_num_chars - counts[i]))
+        boxes = [boxes[i] for i in order]
     return adjust_result_coordinates(boxes, ratio)

@@ -37,11 +37,17 @@ def group_text_box(
     height_ths: float = HEIGHT_THS,
     width_ths: float = WIDTH_THS,
     add_margin: float = ADD_MARGIN,
+    sort_output: bool = True,
 ) -> tuple[list[list[int]], list[list[list[float]]]]:
     """4-point polys -> (horizontal_list, free_list).
 
     horizontal_list entries: [x_min, x_max, y_min, y_max] ints.
     free_list entries: 4-point [[x, y] * 4] floats (rotated quads).
+
+    sort_output=False preserves the caller's box priority order
+    (reference easyocr/easyocr.py:342 passes optimal_num_chars is None:
+    when the detector pre-sorted boxes by char-count fit, reading-order
+    line sorting would destroy the ranking).
     """
     horizontal: list[list[float]] = []
     free: list[list[list[float]]] = []
@@ -69,7 +75,8 @@ def group_text_box(
             free.append(q.tolist())
 
     # cluster horizontals into lines by y-center
-    horizontal.sort(key=lambda b: b[4])
+    if sort_output:
+        horizontal.sort(key=lambda b: b[4])
     lines: list[list[list[float]]] = []
     for box in horizontal:
         if lines:

@@ -59,6 +59,45 @@ def four_point_transform(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
 INK_DARKNESS = 0.45  # same binarization rule recognition.py uses
 
 
+def merge_to_free(results: list, n_free: int) -> list:
+    """Insert free-box results into reading position (the reference's
+    output_format='free_merge', easyocr/utils.py:386-426): recognize()
+    appends free-quad results after all horizontal ones; this re-inserts
+    each free result into the line whose vertical band contains it, at
+    its x position, so mixed upright+rotated pages read in true order.
+
+    Line reconstruction mirrors the reference: a new line starts when
+    the next result's top-left x does not increase (results arrive
+    line-major, left-to-right). Insertion: a free box lands in the last
+    line that starts at-or-above its top y (the reference's
+    first-line-below minus one), then before the first box to its right."""
+    if n_free <= 0 or len(results) <= n_free:
+        return results
+    free = results[-n_free:]
+    horiz = results[:-n_free]
+    lines: list[list] = []
+    for r in horiz:
+        if lines and lines[-1][-1][0][0][0] < r[0][0][0]:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+    for fr in free:
+        fx, fy = fr[0][0][0], fr[0][0][1]
+        y_pos = len(lines) - 1
+        for i in range(1, len(lines)):
+            if fy < lines[i][0][0][0][1]:
+                y_pos = i - 1
+                break
+        line = lines[y_pos]
+        x_pos = len(line)
+        for i, r in enumerate(line):
+            if fx < r[0][0][0]:
+                x_pos = i
+                break
+        line.insert(x_pos, fr)
+    return [r for line in lines for r in line]
+
+
 def deshear_crop(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
     """Pixel-exact unshear for staircase-slanted words (vertical-edged
     parallelogram quads from the detector's _slanted_quad): crop the
@@ -130,13 +169,21 @@ class StandInReader:
         self.ignore = build_ignore_mask(allowlist, blocklist)
 
     def detect(
-        self, gray: np.ndarray, min_size: int = MIN_SIZE
+        self,
+        gray: np.ndarray,
+        min_size: int = MIN_SIZE,
+        optimal_num_chars: int | None = None,
     ) -> tuple[list[list[int]], list[list[list[float]]]]:
         if self.detect_network == "projection":
             boxes = detection_projection.detect(gray)
         else:
-            boxes = detection.detect(gray)
-        horizontal, free = group_text_box(boxes)
+            boxes = detection.detect(gray, optimal_num_chars=optimal_num_chars)
+        # with a char-count target the detector's priority order is the
+        # answer — grouping must not re-sort it (reference
+        # easyocr/easyocr.py:342: sort_output = optimal_num_chars is None)
+        horizontal, free = group_text_box(
+            boxes, sort_output=optimal_num_chars is None
+        )
         return min_size_filter(horizontal, free, min_size)
 
     def _decode_crop(
@@ -161,6 +208,7 @@ class StandInReader:
         free_list: list[list[list[float]]],
         rotation_info: list[int] | None = None,
         paragraph: bool = False,
+        free_merge: bool = False,
     ) -> list:
         h, w = gray.shape
         results: list[tuple[list, str, float]] = []
@@ -183,6 +231,8 @@ class StandInReader:
                 crop = four_point_transform(gray, q)
             text, conf = self._decode_crop(crop, rotation_info)
             results.append(([list(p) for p in quad], text, conf))
+        if free_merge:
+            results = merge_to_free(results, len(free_list))
         if paragraph:
             mode = "rtl" if "arabic" in self.lang_list else "ltr"
             return get_paragraph(results, mode=mode)
@@ -193,18 +243,26 @@ class StandInReader:
         gray: np.ndarray,
         rotation_info: list[int] | None = None,
         paragraph: bool = False,
+        free_merge: bool = False,
     ) -> list:
         horizontal, free = self.detect(gray)
         return self.recognize(
-            gray, horizontal, free, rotation_info=rotation_info, paragraph=paragraph
+            gray,
+            horizontal,
+            free,
+            rotation_info=rotation_info,
+            paragraph=paragraph,
+            free_merge=free_merge,
         )
 
     def readtext_text(self, gray: np.ndarray, rtl: bool = False) -> str:
         """Reading-order concatenation — the span-text projection.
         ``rtl`` reverses word order within each line (the bidi display
         reordering stand-in, reference easyocr/easyocr.py:414-418 —
-        applied when the routed language is Arabic)."""
-        results = [(b, t) for b, t, _ in self.readtext(gray) if t]
+        applied when the routed language is Arabic). free_merge puts
+        free-quad results in reading position among the horizontal ones
+        (a no-op for all-upright or all-slanted pages)."""
+        results = [(b, t) for b, t, _ in self.readtext(gray, free_merge=True) if t]
         if not rtl:
             return " ".join(t for _, t in results)
         # group consecutive results into lines by top-y, reverse within

@@ -184,3 +184,49 @@ def test_deshear_is_pixel_exact():
     ys2, xs2 = np.nonzero(out_ink)
     out_tight = out_ink[ys2.min():ys2.max()+1, xs2.min():xs2.max()+1]
     assert np.array_equal(up_tight, out_tight)
+
+
+def test_merge_to_free_inserts_in_reading_position():
+    from easyocr_spark.ocr.reader import merge_to_free
+
+    def res(x, y, text):
+        return ([[x, y], [x + 30, y], [x + 30, y + 10], [x, y + 10]], text, 0.9)
+
+    # two lines of horizontal results, one free result belonging in the
+    # middle of line 1 (recognize() would have appended it last)
+    results = [
+        res(0, 0, "A"), res(80, 0, "C"),
+        res(0, 50, "D"), res(80, 50, "F"),
+        res(40, 0, "B"),   # free result, line 1 middle
+        res(40, 50, "E"),  # free result, line 2 middle
+    ]
+    merged = merge_to_free(results, 2)
+    assert [t for _, t, _ in merged] == ["A", "B", "C", "D", "E", "F"]
+
+
+def test_mixed_upright_and_slanted_reading_order():
+    """An image with an upright word and a slanted word on one line:
+    free_merge restores true reading order end to end."""
+    up = render.render_text([["SPARK"]], scale=2)
+    sl = render.render_text([["QUERY"]], scale=2, slant_dy=2)
+    h = max(up.shape[0], sl.shape[0])
+    canvas = np.full((h, up.shape[1] + sl.shape[1] + 20), 255, dtype=np.uint8)
+    canvas[: sl.shape[0], : sl.shape[1]] = sl          # slanted word FIRST
+    canvas[: up.shape[0], sl.shape[1] + 20 :] = up     # upright word second
+    r = StandInReader()
+    assert r.readtext_text(canvas) == "QUERY SPARK"
+
+
+def test_optimal_num_chars_prioritizes_boxes():
+    from easyocr_spark.ocr import detection
+
+    img = render.render_text([["AB"], ["FALCON"]], scale=2)
+    default = detection.detect(img)
+    assert len(default) == 2
+    # prefer 6-char components -> FALCON's (taller line 2) box first
+    pri = detection.detect(img, optimal_num_chars=6)
+    assert len(pri) == 2
+    assert pri[0][0][1] > default[0][0][1]  # line-2 box promoted to front
+    # prefer 2-char components -> original order
+    pri2 = detection.detect(img, optimal_num_chars=2)
+    assert np.allclose(pri2[0], default[0])
