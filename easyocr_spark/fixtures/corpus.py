@@ -41,8 +41,10 @@ from .render import render_text, render_tiny
 
 # bump when render_media output changes (media_table caches renders per
 # scale factor under /tmp; a stale cache would silently pin old pixels)
-# v2: color media class; v3: mixed-case/punctuated vocab; v4: slanted class
-MEDIA_SPEC_VERSION = 4
+# v2: color media class; v3: mixed-case/punctuated vocab; v4: slanted
+# class; v5: per-script glyph atlases (chinese-tagged media renders with
+# the cjk atlas, so language -> model routing is load-bearing)
+MEDIA_SPEC_VERSION = 5
 
 # staircase slant: glyph g of a slanted word drops g * SLANT_DY base px
 SLANT_DY = 2
@@ -112,6 +114,9 @@ def media_spec(media_ref: str) -> dict:
         "scale": 2 + 2 * ((a + b) % 2),
         "lines": lines,
         "lang": LANGS[a % 3],
+        # per-script recognition model: chinese-tagged media renders
+        # with (and must be recognized by) the cjk glyph atlas
+        "model": "cjk" if LANGS[a % 3] == "chinese" else "latin",
     }
 
 
@@ -138,11 +143,14 @@ def render_media(media_ref: str) -> bytes:
     if spec["tiny"]:
         img = render_tiny()
     else:
+        from .fonts import MODEL_ATLASES
+
         img = render_text(
             spec["lines"],
             spec["scale"],
             spec["low_contrast"],
             slant_dy=spec["slant_dy"],
+            atlas=MODEL_ATLASES[spec["model"]],
         )
     if spec["color"]:
         a, _ = parse_ref(media_ref)

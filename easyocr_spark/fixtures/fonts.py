@@ -73,22 +73,49 @@ def _glyph_bits(ch: str, salt: int) -> np.ndarray:
     return arr
 
 
-def _build_atlas() -> dict[str, np.ndarray]:
+def _build_atlas(
+    salt_base: int = 0, distinct_from: dict[str, np.ndarray] | None = None
+) -> dict[str, np.ndarray]:
     # bump salt until the pairwise-distance margin holds (deterministic:
-    # same loop, same result, every run)
+    # same loop, same result, every run). ``distinct_from`` additionally
+    # requires every glyph to differ from the other atlas's glyph for
+    # the SAME character by >= 8 bits, so per-script model routing is
+    # load-bearing: decoding with the wrong script's templates cannot
+    # silently coincide.
     for salt in range(1000):
-        atlas = {ch: _glyph_bits(ch, salt) for ch in CHARSET}
+        atlas = {ch: _glyph_bits(ch, salt_base + salt) for ch in CHARSET}
         flat = np.stack([atlas[c].ravel() for c in CHARSET])
         d = (flat[:, None, :] != flat[None, :, :]).sum(axis=2)
         np.fill_diagonal(d, 99)
-        if d.min() >= 8:
-            return atlas
+        if d.min() < 8:
+            continue
+        if distinct_from is not None:
+            cross = min(
+                int((atlas[c] != distinct_from[c]).sum()) for c in CHARSET
+            )
+            if cross < 8:
+                continue
+        return atlas
     raise RuntimeError("could not build glyph atlas with distance margin")
 
 
 ATLAS: dict[str, np.ndarray] = _build_atlas()
+# second script's "weights": same charset, different glyph shapes — the
+# stand-in for the reference's per-script gen1/gen2 model files
+# (easyocr/config.py:53+ routes language -> model + charset; here the
+# routed thing is which template atlas recognizes the pixels)
+ATLAS_CJK: dict[str, np.ndarray] = _build_atlas(salt_base=7919, distinct_from=ATLAS)
 # template stack in label order: TEMPLATES[i] is glyph for CHARSET[i]
 TEMPLATES: np.ndarray = np.stack([ATLAS[c] for c in CHARSET]).astype(np.float32)
+TEMPLATES_CJK: np.ndarray = np.stack([ATLAS_CJK[c] for c in CHARSET]).astype(np.float32)
+MODEL_TEMPLATES: dict[str, np.ndarray] = {
+    "latin": TEMPLATES,
+    "cjk": TEMPLATES_CJK,
+}
+MODEL_ATLASES: dict[str, dict[str, np.ndarray]] = {
+    "latin": ATLAS,
+    "cjk": ATLAS_CJK,
+}
 
 
 def char_to_label(ch: str) -> int:

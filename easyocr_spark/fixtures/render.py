@@ -52,6 +52,7 @@ def render_text(
     scale: int = 2,
     low_contrast: bool = False,
     slant_dy: int = 0,
+    atlas: dict | None = None,
 ) -> np.ndarray:
     """Render lines of words -> uint8[H, W] grayscale image.
 
@@ -60,7 +61,11 @@ def render_text(
     staircase — each glyph itself stays upright, so the inverse shear
     is pixel-exact). Slope = slant_dy / CELL_W per word, well above the
     grouping slope_ths, so these words route through the free-box
-    (rotated-quad) pipeline end to end."""
+    (rotated-quad) pipeline end to end.
+
+    ``atlas`` selects the script's glyph shapes (default: the latin
+    atlas) — the render-side half of per-script model routing."""
+    atlas = atlas or ATLAS
     ink, bg = (LOW_INK, LOW_BG) if low_contrast else (INK, BG)
     w = 2 * MARGIN + max(line_width(ws) for ws in lines)
     h = (
@@ -74,7 +79,7 @@ def render_text(
         x = MARGIN
         for word in words:
             for g_idx, ch in enumerate(word):
-                g = ATLAS[ch]
+                g = atlas[ch]
                 gy = y + g_idx * slant_dy
                 img[gy : gy + GLYPH_H, x : x + GLYPH_W][g == 1] = ink
                 x += CELL_W

@@ -167,6 +167,11 @@ class StandInReader:
         self.decoder = decoder
         self.detect_network = detect_network
         self.ignore = build_ignore_mask(allowlist, blocklist)
+        # language -> recognition model routing (the reference's
+        # decision tree maps lang_list to a gen1/gen2 model + charset,
+        # easyocr/easyocr.py:106-167 + config.py:53+; the stand-in has
+        # two template atlases standing in for two script models)
+        self.recog_model = "cjk" if "chinese" in self.lang_list else "latin"
 
     def detect(
         self,
@@ -190,12 +195,13 @@ class StandInReader:
         self, crop: np.ndarray, rotation_info: list[int] | None
     ) -> tuple[str, float]:
         text, conf = recognize_two_pass(
-            crop, decoder=self.decoder, ignore=self.ignore
+            crop, decoder=self.decoder, ignore=self.ignore, model=self.recog_model
         )
         for rot in rotation_info or []:
             rotated = np.rot90(crop, k=rot // 90)
             t2, c2 = recognize_two_pass(
-                rotated, decoder=self.decoder, ignore=self.ignore
+                rotated, decoder=self.decoder, ignore=self.ignore,
+                model=self.recog_model,
             )
             if c2 > conf:
                 text, conf = t2, c2

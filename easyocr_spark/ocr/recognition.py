@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..fixtures.fonts import CHARSET, GLYPH_H, GLYPH_W, TEMPLATES
+from ..fixtures.fonts import CHARSET, GLYPH_H, GLYPH_W, MODEL_TEMPLATES, TEMPLATES
 from .ctc import (
     ctc_beam_search,
     custom_mean,
@@ -75,23 +75,43 @@ def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
-# hoisted constants for the frame scorer (computed once per process):
+# hoisted constants for the frame scorer (computed once per process,
+# one set per script model — the executor-resident "weights"):
 # match fraction between binary images a, t of P pixels is
 # (P - popcount(a XOR t))/P = (2*a.t - sum(a) - sum(t) + P)/P — one
-# matvec against the flattened template stack instead of 36 equality
-# scans per segment.
-_TFLAT = TEMPLATES.reshape(len(CHARSET), -1)
-_TSUM = _TFLAT.sum(axis=1)
+# matvec against the flattened template stack instead of per-char
+# equality scans per segment.
 _NPIX = GLYPH_H * GLYPH_W
-_BLANK_SCORES = np.empty(N_CLASSES)
-_BLANK_SCORES[0] = 1.0
-# blank frame scores vs glyph templates: fraction of pixels matching an
-# empty window = the template's own empty fraction
-_BLANK_SCORES[1:] = 1.0 - _TSUM / _NPIX
 
 
-def _frames_for_chunk(chunk: np.ndarray, segments: list[tuple[int, int]]) -> np.ndarray:
-    """Binary base-res chunk + char segments -> [T, C] prob matrix."""
+class _ScriptModel:
+    def __init__(self, templates: np.ndarray):
+        self.tflat = templates.reshape(len(CHARSET), -1)
+        self.tsum = self.tflat.sum(axis=1)
+        self.blank_scores = np.empty(N_CLASSES)
+        self.blank_scores[0] = 1.0
+        # blank frame scores vs glyph templates: fraction of pixels
+        # matching an empty window = the template's own empty fraction
+        self.blank_scores[1:] = 1.0 - self.tsum / _NPIX
+
+
+_SCRIPT_MODELS: dict[str, _ScriptModel] = {
+    name: _ScriptModel(t) for name, t in MODEL_TEMPLATES.items()
+}
+# back-compat aliases (latin is the default model)
+_TFLAT = _SCRIPT_MODELS["latin"].tflat
+_TSUM = _SCRIPT_MODELS["latin"].tsum
+_BLANK_SCORES = _SCRIPT_MODELS["latin"].blank_scores
+
+
+def _frames_for_chunk(
+    chunk: np.ndarray,
+    segments: list[tuple[int, int]],
+    model: str = "latin",
+) -> np.ndarray:
+    """Binary base-res chunk + char segments -> [T, C] prob matrix,
+    scored against the given script model's templates."""
+    m = _SCRIPT_MODELS[model]
     frames: list[np.ndarray] = []
     for s, e in segments:
         seg = chunk[:, s:e].astype(np.float32)
@@ -101,10 +121,10 @@ def _frames_for_chunk(chunk: np.ndarray, segments: list[tuple[int, int]]) -> np.
         ssum = flat.sum()
         scores = np.empty(N_CLASSES)
         scores[0] = 1.0 - ssum / _NPIX  # blank likes empty windows
-        scores[1:] = (2.0 * (_TFLAT @ flat) - _TSUM - ssum + _NPIX) / _NPIX
+        scores[1:] = (2.0 * (m.tflat @ flat) - m.tsum - ssum + _NPIX) / _NPIX
         frames.append(scores)
         frames.append(scores)  # duplicated frame: real collapse work
-        frames.append(_BLANK_SCORES)
+        frames.append(m.blank_scores)
     if not frames:
         return np.empty((0, N_CLASSES))
     raw = np.stack(frames) ** SHARPNESS
@@ -148,6 +168,7 @@ def recognize_crop(
     adjust: bool = False,
     decoder: str = "greedy",
     ignore: np.ndarray | None = None,
+    model: str = "latin",
 ) -> tuple[str, float]:
     """uint8[H, W] crop -> (text, confidence)."""
     img = adjust_contrast_grey(crop, ADJUST_CONTRAST) if adjust else crop
@@ -181,7 +202,7 @@ def recognize_crop(
     words: list[str] = []
     all_confs: list[np.ndarray] = []
     for segs in chunks:
-        probs = _apply_ignore(_frames_for_chunk(base, segs), ignore)
+        probs = _apply_ignore(_frames_for_chunk(base, segs, model), ignore)
         if decoder == "beamsearch":
             text, _ = ctc_beam_search(probs, CHARSET)
         elif decoder == "wordbeamsearch":
@@ -203,13 +224,18 @@ def recognize_two_pass(
     decoder: str = "greedy",
     contrast_ths: float = CONTRAST_THS,
     ignore: np.ndarray | None = None,
+    model: str = "latin",
 ) -> tuple[str, float]:
     """get_text's two-pass orchestration (reference
     easyocr/recognition.py:186-233): retry low-confidence crops with
     contrast adjustment, keep the better result."""
-    text1, conf1 = recognize_crop(crop, adjust=False, decoder=decoder, ignore=ignore)
+    text1, conf1 = recognize_crop(
+        crop, adjust=False, decoder=decoder, ignore=ignore, model=model
+    )
     if conf1 < contrast_ths:
-        text2, conf2 = recognize_crop(crop, adjust=True, decoder=decoder, ignore=ignore)
+        text2, conf2 = recognize_crop(
+            crop, adjust=True, decoder=decoder, ignore=ignore, model=model
+        )
         if conf2 > conf1:
             return text2, conf2
     return text1, conf1

@@ -31,23 +31,34 @@ OCR_RESULT_SCHEMA = "media_ref string, text string, conf double, n_boxes int"
 _READERS: dict[tuple, object] = {}
 
 
-def get_reader(decoder: str = "greedy", allowlist: str | None = None):
-    """Executor-resident singleton per decoder config (the reference's
-    one-Reader-per-config pattern, easyocr/easyocr.py:214-233).
+def get_reader(
+    decoder: str = "greedy", allowlist: str | None = None, lang: str = ""
+) -> object:
+    """Executor-resident singleton per (decoder, allowlist, lang)
+    config (the reference's one-Reader-per-config pattern,
+    easyocr/easyocr.py:214-233). ``lang`` routes the recognition model:
+    chinese-tagged media must be decoded with the cjk glyph atlas (the
+    reference's language decision tree picks the model file the same
+    way, easyocr/easyocr.py:106-167).
 
     Backend selection (EASYOCR_SPARK_BACKEND=torch) happens here, once
     per worker process: the torch path loads the real CRAFT/CRNN
     weights (ocr/backends/) when torch + .pth files are present, and
     falls back to the deterministic stand-in loudly otherwise — the
     sandbox default and the path the oracles verify."""
-    key = (decoder, allowlist)
+    key = (decoder, allowlist, lang)
     if key not in _READERS:
         from .backends import make_torch_reader, resolve_backend
 
+        lang_list = [lang] if lang else None
         if resolve_backend() == "torch":
-            _READERS[key] = make_torch_reader(decoder=decoder, allowlist=allowlist)
+            _READERS[key] = make_torch_reader(
+                decoder=decoder, allowlist=allowlist, lang_list=lang_list
+            )
         else:
-            _READERS[key] = StandInReader(decoder=decoder, allowlist=allowlist)
+            _READERS[key] = StandInReader(
+                decoder=decoder, allowlist=allowlist, lang_list=lang_list
+            )
     return _READERS[key]
 
 
@@ -74,13 +85,13 @@ def _ocr_batches_impl(
     OCR_RESULT_SCHEMA. The lang column routes RTL post-processing
     (Arabic word order within lines — the reference's bidi reordering,
     easyocr/easyocr.py:414-418)."""
-    reader = get_reader(decoder, allowlist)
     for pdf in it:
         texts: list[str] = []
         confs: list[float] = []
         n_boxes: list[int] = []
         langs = pdf["lang"] if "lang" in pdf.columns else [""] * len(pdf)
         for data, lang in zip(pdf["content"], langs):
+            reader = get_reader(decoder, allowlist, str(lang))
             img = decode_gray(bytes(data))
             results = reader.readtext(img)
             kept = [(b, t, c) for b, t, c in results if t]
@@ -172,12 +183,12 @@ def paragraph_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     easyocr/easyocr.py:422-423 + utils.py:643-709): per image, grouped
     paragraphs with reading-order concat; RTL mode for arabic-routed
     media."""
-    reader = get_reader()
     for pdf in it:
         n_out: list[int] = []
         texts: list[str] = []
         langs = pdf["lang"] if "lang" in pdf.columns else [""] * len(pdf)
         for data, lang in zip(pdf["content"], langs):
+            reader = get_reader(lang=str(lang))
             img = decode_gray(bytes(data))
             horizontal, free = reader.detect(img)
             from .paragraph import get_paragraph

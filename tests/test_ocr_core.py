@@ -15,13 +15,18 @@ from easyocr_spark.ocr.recognition import (
 READER = StandInReader()
 
 
+def reader_for(ref):
+    # route the recognition model the way the pipeline does (lang tag)
+    return StandInReader(lang_list=[corpus.media_spec(ref)["lang"]])
+
+
 @pytest.mark.parametrize(
     "ref", [f"m_{a}_{b}" for a in range(0, 40, 7) for b in (0, 1, 2, 5)]
 )
 def test_end_to_end_ground_truth(ref):
     img = png.decode_gray(corpus.render_media(ref))
     rtl = corpus.media_spec(ref)["lang"] == "arabic"
-    assert READER.readtext_text(img, rtl=rtl) == corpus.ground_truth_text(ref)
+    assert reader_for(ref).readtext_text(img, rtl=rtl) == corpus.ground_truth_text(ref)
 
 
 def test_rtl_reverses_words_within_lines():

@@ -20,8 +20,11 @@ def test_projection_detector_same_boxes_as_craft():
 
 
 def test_projection_detector_end_to_end():
-    r = StandInReader(detect_network="projection")
     for ref in ["m_7_1", "m_13_2"]:
+        r = StandInReader(
+            detect_network="projection",
+            lang_list=[corpus.media_spec(ref)["lang"]],
+        )
         img = png.decode_gray(corpus.render_media(ref))
         assert r.readtext_text(img) == corpus.ground_truth_text(ref)
 
@@ -158,8 +161,8 @@ def test_slanted_class_routes_through_free_quads():
         if corpus.media_spec(f"m_{a}_{b}")["slant_dy"] > 0
     ][:4]
     assert slanted, "slant class must be non-empty"
-    r = StandInReader()
     for ref in slanted:
+        r = StandInReader(lang_list=[corpus.media_spec(ref)["lang"]])
         img = png.decode_gray(corpus.render_media(ref))
         horizontal, free = r.detect(img)
         assert horizontal == []
@@ -230,3 +233,20 @@ def test_optimal_num_chars_prioritizes_boxes():
     # prefer 2-char components -> original order
     pri2 = detection.detect(img, optimal_num_chars=2)
     assert np.allclose(pri2[0], default[0])
+
+
+def test_per_script_model_routing_is_load_bearing():
+    """Chinese-tagged media renders with the cjk atlas; decoding with
+    the latin model must FAIL and with the routed model must succeed —
+    the language decision tree actually selects the weights."""
+    ref = next(
+        f"m_{a}_{b}"
+        for a in range(20)
+        for b in range(3)
+        if corpus.media_spec(f"m_{a}_{b}")["model"] == "cjk"
+        and not corpus.media_spec(f"m_{a}_{b}")["tiny"]
+    )
+    img = png.decode_gray(corpus.render_media(ref))
+    gt = corpus.ground_truth_text(ref)
+    assert StandInReader(lang_list=["chinese"]).readtext_text(img) == gt
+    assert StandInReader().readtext_text(img) != gt
