@@ -130,6 +130,21 @@ def q_detect_slanted_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """poly=True detection (the getPoly_core analogue): slanted words
+    come out as 4L-point staircase outlines tracing each glyph cell's
+    own top/bottom — verified point-for-point against the renderer
+    geometry."""
+    a = "CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    refs = _distinct_media(spark, sf_dir).filter(
+        F.expr(corpus.duckdb_slant_pred(a, b))
+    )
+    return refs.mapInPandas(
+        udfs.detect_poly_batches, schema=udfs.DETECT_POLY_SCHEMA
+    )
+
+
 def q_ocr_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, media = _docs_media(spark, sf_dir)
     spans = pipeline.explode_spans(docs)
@@ -350,6 +365,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "detect_boxes": q_detect_boxes,
         "detect_box_geometry": q_detect_box_geometry,
         "detect_slanted_geometry": q_detect_slanted_geometry,
+        "detect_polygons": q_detect_polygons,
         "ocr_results": q_ocr_results,
         "ocr_results_beamsearch": q_ocr_results_beamsearch,
         "ocr_results_wordbeam": q_ocr_results_wordbeam,
@@ -414,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "detect_slanted_geometry": corpus.duckdb_slanted_geometry_sql(
             DUCK_DISTINCT_REFS
         ),
+        "detect_polygons": corpus.duckdb_poly_geometry_sql(DUCK_DISTINCT_REFS),
         "ocr_results": f"""
             SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
         """,

@@ -177,6 +177,7 @@ def get_det_boxes(
     low_text: float = LOW_TEXT,
     link_threshold: float = LINK_THRESHOLD,
     estimate_num_chars: bool = False,
+    with_polys: bool = False,
 ):
     """Score maps -> list of 4-point boxes (float, half-res coords),
     following getDetBoxes_core (reference easyocr/craft_utils.py:20-85):
@@ -210,6 +211,7 @@ def get_det_boxes(
     text_mask = text_score & (labels > 0)
     boxes: list[np.ndarray] = []
     n_chars: list[int] = []
+    polys: list[np.ndarray | None] = []
     for k in range(1, n + 1):
         if area[k] < MIN_AREA:
             continue
@@ -228,6 +230,13 @@ def get_det_boxes(
             # character-blob labeling (easyocr/craft_utils.py:46-49)
             starts, _ = _column_runs(sub)
             n_chars.append(max(1, len(starts)))
+        if with_polys:
+            starts, ends = _column_runs(sub)
+            polys.append(
+                _component_poly(sub, starts, ends, x0, y0)
+                if len(starts)
+                else None
+            )
         quad = _slanted_quad(sub, x0, y0)
         if quad is not None:
             boxes.append(quad)
@@ -240,8 +249,12 @@ def get_det_boxes(
                 dtype=np.float32,
             )
         )
+    if estimate_num_chars and with_polys:
+        return boxes, n_chars, polys
     if estimate_num_chars:
         return boxes, n_chars
+    if with_polys:
+        return boxes, polys
     return boxes
 
 
@@ -270,6 +283,35 @@ def _slanted_quad_runs(sub, starts, ends, x0, y0):
     return np.array(
         [[xl, ya], [xr, yb], [xr, yb + h], [xl, ya + h]], dtype=np.float32
     )
+
+
+def _component_poly(sub, starts, ends, x0, y0) -> np.ndarray | None:
+    """Polygon tracing a SLANTED component's text region at glyph-cell
+    granularity — the role of getPoly_core (reference
+    easyocr/craft_utils.py:87-231: poly=True fits a point sequence
+    along the text line's local height instead of one quad). For each
+    cell: its top-left and top-right corners at the cell's own ink top;
+    the return path mirrors the bottoms right-to-left, giving a closed
+    4k-point staircase outline. Upright components return None (the
+    reference also returns None polys for short/straight boxes and the
+    caller falls back to the quad)."""
+    if len(starts) < 2:
+        return None
+    tops = []
+    bots = []
+    slanted = False
+    prev_t = None
+    for s, e in zip(starts, ends):
+        ys = np.nonzero(sub[:, s:e].any(axis=1))[0]
+        t, btm = int(ys[0]), int(ys[-1]) + 1
+        if prev_t is not None and t != prev_t:
+            slanted = True
+        prev_t = t
+        tops += [(float(x0 + s), float(y0 + t)), (float(x0 + e), float(y0 + t))]
+        bots += [(float(x0 + s), float(y0 + btm)), (float(x0 + e), float(y0 + btm))]
+    if not slanted:
+        return None
+    return np.array(tops + bots[::-1], dtype=np.float32)
 
 
 def _slanted_quad(sub: np.ndarray, x0: int, y0: int) -> np.ndarray | None:
@@ -325,3 +367,17 @@ def detect(
         order = sorted(range(len(boxes)), key=lambda i: abs(optimal_num_chars - counts[i]))
         boxes = [boxes[i] for i in order]
     return adjust_result_coordinates(boxes, ratio)
+
+
+def detect_polys(
+    gray: np.ndarray, canvas_size: int = 2560, mag_ratio: float = 1.0
+) -> list[np.ndarray | None]:
+    """The poly=True detect path (reference easyocr/detection.py:92 +
+    craft_utils.py getPoly_core): one entry per detected component in
+    detect()'s order — a 4k-point staircase outline for slanted
+    components, None for upright ones (caller falls back to the box)."""
+    resized, ratio = resize_aspect_ratio(gray, canvas_size, mag_ratio)
+    region, link = compute_score_maps(resized)
+    _, polys = get_det_boxes(region, link, with_polys=True)
+    inv = RATIO_NET / ratio
+    return [None if p is None else p * inv for p in polys]

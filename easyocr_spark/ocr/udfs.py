@@ -175,6 +175,34 @@ DETECT_FREE_SCHEMA = (
 )
 
 
+def detect_poly_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """poly=True detection stage (the getPoly_core analogue): one row
+    per polygon POINT — (media_ref, box_idx, pt_idx, x, y), integer
+    pixel coords (the polygon comes straight from the detector, before
+    any grouping margin, so coordinates are exact ints)."""
+    from .detection import detect_polys
+
+    for pdf in it:
+        rows = []
+        for ref, data in zip(pdf["media_ref"], pdf["content"]):
+            img = decode_gray(bytes(data))
+            box_idx = 0
+            for poly in detect_polys(img):
+                if poly is None:
+                    continue
+                for pt_idx, (x, y) in enumerate(poly):
+                    rows.append((ref, box_idx, pt_idx, int(round(x)), int(round(y))))
+                box_idx += 1
+        yield pd.DataFrame(
+            rows, columns=["media_ref", "box_idx", "pt_idx", "x", "y"]
+        )
+
+
+DETECT_POLY_SCHEMA = (
+    "media_ref string, box_idx int, pt_idx int, x int, y int"
+)
+
+
 PARAGRAPH_RESULT_SCHEMA = "media_ref string, n_paragraphs int, text string"
 
 

@@ -250,3 +250,18 @@ def test_per_script_model_routing_is_load_bearing():
     gt = corpus.ground_truth_text(ref)
     assert StandInReader(lang_list=["chinese"]).readtext_text(img) == gt
     assert StandInReader().readtext_text(img) != gt
+
+
+def test_detect_polys_staircase_outline():
+    from easyocr_spark.ocr.detection import detect_polys
+
+    img = render.render_text([["SPARK"]], scale=2, slant_dy=2)
+    polys = [p for p in detect_polys(img) if p is not None]
+    assert len(polys) == 1
+    poly = polys[0]
+    assert poly.shape == (4 * 5, 2)  # 4 points per glyph cell
+    # cell tops must strictly descend the staircase: +4px per cell (dy=2, s=2)
+    tops = poly[: 2 * 5 : 2, 1]
+    assert list(np.diff(tops)) == [4.0] * 4
+    # upright render: no polygons
+    assert all(p is None for p in detect_polys(render.render_text([["SPARK"]], scale=2)))
