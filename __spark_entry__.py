@@ -280,6 +280,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(tables.read_table(spark, sf_dir, "embeddings"))
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic coarse codebook -> inverted lists ->
+    nprobe-bounded exact rank (the scale path where per-query cost is
+    nprobe/nlist of the corpus)."""
+    return similarity.ivf_topk(tables.read_table(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(
         similarity.with_planted_dups(tables.read_table(spark, sf_dir, "embeddings"))
@@ -313,6 +320,20 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easyocr_spark.streaming import stream
 
     return stream.streaming_windowed_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def q_streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization with explicit state + event-time
+    timeouts. Emitted sessions = batch sessionize minus each user's
+    still-open last session (close horizon inside the final watermark)."""
+    import os
+
+    from easyocr_spark.streaming import stream
+
+    return stream.streaming_sessionize_stateful(
         spark, os.path.join(sf_dir, "events.parquet")
     )
 
@@ -385,6 +406,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "doc_fingerprint": q_doc_fingerprint,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
@@ -392,6 +414,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_asof": q_events_asof,
         "streaming_windowed": q_streaming_windowed,
         "streaming_windowed_append": q_streaming_windowed_append,
+        "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
     }
 
 
@@ -481,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "knn_brute": similarity.duckdb_brute_topk_sql(),
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),
+        "knn_ivf": similarity.duckdb_ivf_topk_sql(),
         "embedding_neardup": similarity.duckdb_neardup_sql(),
         "events_sessionize": events.duckdb_sessionize_sql(),
         "events_windowed": events.duckdb_windowed_sql(),
@@ -488,4 +512,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": events.duckdb_asof_sql(),
         "streaming_windowed": events.duckdb_windowed_sql(),
         "streaming_windowed_append": events.duckdb_windowed_append_sql(),
+        "streaming_sessionize_stateful": events.duckdb_sessionize_closed_sql(),
     }

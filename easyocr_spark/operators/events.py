@@ -98,6 +98,27 @@ def duckdb_windowed_sql(minutes: int = WINDOW_MIN) -> str:
     """
 
 
+def duckdb_sessionize_closed_sql(
+    gap_minutes: int = SESSION_GAP_MIN, watermark_s: int = 600
+) -> str:
+    """Oracle for the STATEFUL streaming sessionizer: the batch
+    sessions minus each user's last session when its close horizon
+    (t_end + gap) has not fallen behind the final watermark — the
+    still-open state that correctly never emits on a drained stream."""
+    gap_ms = gap_minutes * 60 * 1000
+    wm_ms = watermark_s * 1000
+    return f"""
+    WITH b AS ({duckdb_sessionize_sql(gap_minutes)}),
+    m AS (SELECT epoch_ms(max(ts)) AS mt FROM events),
+    lastx AS (SELECT user_id, max(session_id) AS max_sid FROM b GROUP BY 1)
+    SELECT b.user_id, b.session_id, b.n_events, b.t_start_ms, b.t_end_ms,
+           b.value_sum_milli
+    FROM b JOIN lastx USING (user_id), m
+    WHERE NOT (b.session_id = lastx.max_sid
+               AND b.t_end_ms + {gap_ms} >= m.mt - {wm_ms})
+    """
+
+
 def duckdb_windowed_append_sql(
     minutes: int = WINDOW_MIN, watermark_s: int = 600
 ) -> str:

@@ -149,6 +149,114 @@ def lsh_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
     )
 
 
+CENTROID_MOD = 25  # deterministic codebook: vec_id % 25 == 3 are centroids
+NPROBE = 2
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = K, nprobe: int = NPROBE
+) -> DataFrame:
+    """IVF-style ANN: a coarse codebook partitions the corpus into
+    inverted lists; a query probes only its ``nprobe`` nearest
+    centroids' lists and ranks exactly within. This is the classic
+    IVF-Flat scale shape (train codebook -> assign once -> per-query
+    work is nprobe/nlist of the corpus); the codebook here is a
+    DETERMINISTIC subset of the vectors (vec_id % CENTROID_MOD == 3)
+    standing in for a k-means-trained one so the DuckDB oracle
+    reproduces the exact same lists — swap in trained centroids and
+    nothing else changes.
+
+    Plan shape at scale: centroids broadcast (tiny), assignment is a
+    narrow map over the corpus (one scan), the probe join is
+    centroid-id equi-join — no all-pairs anywhere."""
+    cents = embeddings.filter(F.col("vec_id") % CENTROID_MOD == 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            cos_micro(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "cent_id",
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("crank") <= nprobe)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "cent_id",
+        )
+    )
+    cand = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_micro(F.col("q_emb"), F.col("n_emb")).alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_micro")
+    )
+
+
+def duckdb_ivf_topk_sql(k: int = K, nprobe: int = NPROBE) -> str:
+    cc = duck_cos_micro("e.embedding", "c.embedding")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+                   WHERE vec_id % {CENTROID_MOD} = 3),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id, {cc} AS c_cos
+      FROM embeddings e, cents c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cent_id ASC) AS crank
+      FROM scored
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, embedding AS n_emb, cent_id
+      FROM ranked WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+      FROM ranked WHERE vec_id % {QUERY_MOD} = 0 AND crank <= {nprobe}
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id,
+             {duck_cos_micro('q_emb', 'n_emb')} AS cos_micro
+      FROM probes JOIN assigned USING (cent_id)
+      WHERE query_id <> neighbor_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, neighbor_id ASC) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_micro
+    FROM rk WHERE rank <= {k}
+    """
+
+
 PLANT_OFFSET = 10_000
 
 

@@ -24,6 +24,7 @@ import shutil
 import tempfile
 import uuid
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,6 +133,128 @@ def streaming_windowed_append(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+SESSION_GAP_MIN = 30
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, t_start_ms long, "
+    "t_end_ms long, value_sum_milli long"
+)
+SESSION_STATE_SCHEMA = (
+    "session_id long, t_start_ms long, t_end_ms long, n_events long, "
+    "value_sum double"
+)
+
+
+def _make_session_fn(gap_ms: int):
+    """Stateful per-user session assembler for applyInPandasWithState.
+
+    State = the user's OPEN session (id, bounds, count, running sum).
+    Each invocation folds the batch's events (sorted by ts, event_id)
+    into it, EMITTING a session whenever a gap > gap_ms splits it —
+    exactly the batch lag+cumsum semantics (operators/events.sessionize,
+    gaps measured on floor-second epochs). The open session emits when
+    its event-time timeout (t_end + gap) falls behind the watermark."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            sid, t0, t1, n, vs = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, sid, n, t0, t1, int(np.floor(vs * 1000)))],
+                columns=["user_id", "session_id", "n_events", "t_start_ms",
+                         "t_end_ms", "value_sum_milli"],
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        epochs_ms = rows["ts_tz"].astype("datetime64[ns]").astype("int64") // 1_000_000
+        values = rows["value"].astype(float).tolist()
+        out = []
+        if state.exists:
+            sid, t0, t1, n, vs = state.get
+        else:
+            sid, t0, t1, n, vs = 0, None, None, 0, 0.0
+        for t_ms, v in zip(epochs_ms.tolist(), values):
+            # batch semantics: gap on floor-second epochs
+            if t0 is None or (t_ms // 1000) - (t1 // 1000) > gap_ms // 1000:
+                if t0 is not None:
+                    out.append((user_id, sid, n, t0, t1, int(np.floor(vs * 1000))))
+                sid, t0, t1, n, vs = sid + 1, t_ms, t_ms, 1, v
+            else:
+                t1, n, vs = t_ms, n + 1, vs + v
+        wm = state.getCurrentWatermarkMs()
+        if t1 is not None and t1 + gap_ms <= wm:
+            # already closeable: the watermark passed this session's
+            # horizon while the batch was in flight
+            out.append((user_id, sid, n, t0, t1, int(np.floor(vs * 1000))))
+            state.remove()
+        else:
+            state.update((sid, t0, t1, n, vs))
+            state.setTimeoutTimestamp(t1 + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_id", "n_events", "t_start_ms",
+                         "t_end_ms", "value_sum_milli"],
+            )
+
+    return fn
+
+
+def streaming_sessionize_stateful(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = SESSION_GAP_MIN,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
+    gap-based sessionization with explicit per-user state and event-time
+    timeouts — the operator shape Structured Streaming cannot express
+    with built-in aggregations (session windows over ordered gaps with
+    exact batch parity).
+
+    Contract: emitted sessions equal the batch sessionize output minus
+    each user's LAST session when its close horizon (t_end + gap) is
+    still inside the final watermark — the same closed-window discipline
+    as the append-mode windowed agg. State is bounded: one open session
+    per active user, evicted on timeout."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_minutes * 60 * 1000),
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).cache()
+    result.count()
+    return result
 
 
 def stream_extract_foreachbatch(

@@ -100,3 +100,18 @@ def test_brute_topk_matches_numpy(spark, emb):
 def test_neardup_finds_scaled_copy(emb):
     out = similarity.neardup_pairs(emb, micro=990_000).toPandas()
     assert ((out.id_a == 7) & (out.id_b == 13)).any()
+
+
+def test_ivf_topk_recall_vs_brute(emb):
+    """IVF with nprobe=2 over a 40-vector corpus: candidates are a
+    corpus subset, so ranks are exact-within-list; recall@3 vs brute
+    force should be high but the contract is determinism, not recall."""
+    ivf = similarity.ivf_topk(emb, k=3).toPandas()
+    brute = similarity.brute_force_topk(emb, k=3).toPandas()
+    assert set(ivf.query_id) == set(brute.query_id)
+    # every emitted neighbor must carry the exact cosine the brute path
+    # computed for the same pair
+    merged = ivf.merge(brute, on=["query_id", "neighbor_id"], suffixes=("_i", "_b"))
+    assert (merged.cos_micro_i == merged.cos_micro_b).all()
+    hits = len(merged)
+    assert hits >= len(brute) // 2  # sane recall on random data

@@ -107,3 +107,38 @@ def test_ocr_dedup_runs_each_ref_once(docs, media, spark):
     )
     assert results.count() == n_refs
     assert results.select("media_ref").distinct().count() == n_refs
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join with zero shuffles: the plan must contain
+    no Exchange when broadcast is disabled."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from easyocr_spark.operators import bucketing
+
+    left = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("score")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grade")
+    )
+    bucketing.write_bucketed(left, "t_left", str(tmp_path / "l"), "doc_id", 8)
+    bucketing.write_bucketed(right, "t_right", str(tmp_path / "r"), "doc_id", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.bucketed_join(spark, "t_left", "t_right")
+        assert joined.count() == 1000
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")

@@ -111,3 +111,27 @@ def test_streaming_append_matches_closed_windows(spark, tmp_path):
     assert closed.exceptAll(got).count() == 0
     # bounded state: some open windows must exist and be unemitted
     assert events.windowed_counts(ev).count() > got.count()
+
+
+def test_stateful_sessionize_matches_closed_batch_sessions(spark):
+    ev_path = os.path.join(SF, "events.parquet")
+    got = stream.streaming_sessionize_stateful(spark, ev_path)
+    ev = spark.read.parquet(ev_path)
+    batch = events.sessionize(ev)
+    mt_ms = ev.select(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    from pyspark.sql import Window
+
+    last = batch.withColumn(
+        "max_sid", F.max("session_id").over(Window.partitionBy("user_id"))
+    )
+    closed = last.filter(
+        ~(
+            (F.col("session_id") == F.col("max_sid"))
+            & (F.col("t_end_ms") + 1800_000 >= mt_ms - 600_000)
+        )
+    ).drop("max_sid")
+    assert got.exceptAll(closed).count() == 0
+    assert closed.exceptAll(got).count() == 0
+    got.unpersist()

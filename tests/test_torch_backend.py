@@ -135,3 +135,23 @@ def test_crnn_forward_contract():
     assert y.shape[0] == 1
     assert y.shape[2] == len(torch_crnn.EN_G2_CHARSET) + 1
     assert y.shape[1] > 1  # a real time axis
+
+
+@needs_torch
+def test_onnx_export_craft(tmp_path):
+    from easyocr_spark.ocr.backends import onnx_export
+
+    out = onnx_export.export_craft(None, str(tmp_path / "craft.onnx"))
+    import os
+
+    assert os.path.getsize(out) > 0
+
+
+@needs_torch
+def test_onnx_export_crnn(tmp_path):
+    from easyocr_spark.ocr.backends import onnx_export
+
+    out = onnx_export.export_crnn(None, str(tmp_path / "crnn.onnx"))
+    import os
+
+    assert os.path.getsize(out) > 0
