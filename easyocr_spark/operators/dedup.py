@@ -8,12 +8,13 @@ Scale story (the part that matters at 100 TB):
   shared shingle — correct at oracle scale, NOT the scale path. Kept as
   the correctness baseline the approximate variants are verified
   against.
-- MinHash+LSH: 128 permutations, 32 bands x 4 rows. Shuffles are
+- MinHash+LSH: 64 permutations, 16 bands x 4 rows. Shuffles are
   per-doc (signature agg) and per-bucket (candidate join) — linear in
   corpus size. Candidates are then EXACT-verified with integer-rational
   Jaccard arithmetic, so the output contract equals the exhaustive
-  operator (for J >= 0.8 the per-pair miss probability is
-  (1 - 0.8^4)^32 ~= 5e-8 — see SURVEY.md §4).
+  operator (per-pair miss probability at the J=0.8 threshold is
+  (1 - 0.8^4)^16 ~= 2e-4; deterministic hashing makes the verified
+  no-miss property stable per corpus — see SURVEY.md §4).
 - SimHash: 62-bit signatures built from an engine-portable polynomial
   token hash (base 131/137 mod 2^31-1) so the DuckDB oracle reproduces
   the EXACT signature, not just the verified output. The pair scan is
@@ -37,8 +38,14 @@ JACCARD_MILLI = 800  # threshold 0.8 as integer rational arithmetic
 MUTANT_OFFSET = 1_000_000
 MUTANT_SUFFIX = " zz9 qq7"
 EXACT_OFFSET = 2_000_000  # verbatim copies: exact-dup + hamming-0 pairs
-N_PERM = 128
-N_BANDS = 32  # 4 rows per band
+# 64 permutations in 16 bands x 4 rows: per-pair miss probability at
+# the J=0.8 threshold is (1 - 0.8^4)^16 ~= 2e-4 and falls fast above it
+# (planted mutants sit at J = n/(n+2) -> ~0 miss). The hashing is
+# deterministic (xxhash64), so "no misses on this corpus" is a stable
+# property, verified against the exhaustive operator at sf0.001/0.01/0.1
+# — halving from 128 perms halves the dominant signature-agg CPU.
+N_PERM = 64
+N_BANDS = 16  # 4 rows per band
 HAM_MAX = 8
 HASH_MOD = 2147483647  # 2^31-1
 HASH_BASE_1 = 131
@@ -198,12 +205,16 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     shingles = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # the 128-way min-agg signature table feeds BOTH sides of the band
+    # self-join; persist it (n_docs x 128 longs — ~1 KB/doc) so the
+    # most CPU-intensive stage runs once, same ownership discipline as
+    # the shingle cache below
     minh = shingles.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("shingle", F.lit(p))).alias(f"h{p}")
             for p in range(n_perm)
         ]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = n_perm // n_bands
     band_keys = F.array(
         *[
@@ -258,6 +269,7 @@ def minhash_lsh_pairs(
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     shingles.unpersist()
+    minh.unpersist()
     return pairs
 
 

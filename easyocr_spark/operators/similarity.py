@@ -55,14 +55,27 @@ def cos_micro(a: Column, b: Column) -> Column:
     ).cast("long")
 
 
+def cos_micro_pre(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
+    """cos_micro with PRE-COMPUTED squared norms: each vector's norm is
+    evaluated once per row in a projection instead of once per PAIR —
+    the dot product is the only per-pair fold. Bit-identical to
+    cos_micro (same doubles in the same operations), ~3x less HOF work
+    on all-pairs/top-k scans."""
+    return F.floor(_dot(a, b) / F.sqrt(n2a * n2b) * F.lit(1_000_000)).cast("long")
+
+
 def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
     """(query_id, neighbor_id, rank, cos_micro): exact top-k cosine
     neighbors for the deterministic query subset."""
     queries = embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm2(F.col("embedding")).alias("q_n2"),
     )
     corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        _norm2(F.col("embedding")).alias("n_n2"),
     )
     scored = (
         F.broadcast(queries)
@@ -71,7 +84,9 @@ def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cos_micro(F.col("q_emb"), F.col("n_emb")).alias("cos_micro"),
+            cos_micro_pre(
+                F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -118,16 +133,21 @@ def lsh_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
     exactly reproducible in the oracle (it's approximate vs brute
     force, but exact vs its own contract)."""
     with_bucket = embeddings.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        _norm2(F.col("embedding")).alias("n2"),
     )
     queries = with_bucket.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
         "bucket",
     )
     corpus = with_bucket.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
+        F.col("n2").alias("n_n2"),
         "bucket",
     )
     scored = (
@@ -136,7 +156,9 @@ def lsh_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cos_micro(F.col("q_emb"), F.col("n_emb")).alias("cos_micro"),
+            cos_micro_pre(
+                F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -188,6 +210,7 @@ def ivf_topk(
     assigned = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
+        _norm2(F.col("embedding")).alias("n_n2"),
         "cent_id",
     )
     probes = (
@@ -197,6 +220,7 @@ def ivf_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            _norm2(F.col("embedding")).alias("q_n2"),
             "cent_id",
         )
     )
@@ -206,7 +230,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cos_micro(F.col("q_emb"), F.col("n_emb")).alias("cos_micro"),
+            cos_micro_pre(
+                F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -303,16 +329,24 @@ def neardup_pairs(embeddings: DataFrame, micro: int = NEARDUP_MICRO) -> DataFram
     a = with_bucket.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
+        _norm2(F.col("embedding")).alias("na"),
         F.explode(probes).alias("bucket"),
     )
     b = with_bucket.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        _norm2(F.col("embedding")).alias("nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cos_micro(F.col("ea"), F.col("eb")).alias("cos_micro")
+            "id_a",
+            "id_b",
+            cos_micro_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos_micro"),
         )
         .filter(F.col("cos_micro") >= micro)
     )
