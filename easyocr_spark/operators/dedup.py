@@ -273,6 +273,98 @@ def minhash_lsh_pairs(
     return pairs
 
 
+# ------------------------------------------------- components / keep-lists
+def dedup_components(docs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-verified
+    pair graph — the step that turns pairwise matches into per-cluster
+    keep/drop decisions (component id = min doc_id = the canonical
+    representative a dedup pass would keep).
+
+    Iterative min-label propagation as a bounded driver loop over
+    DataFrame joins (the alternating-star pattern's simple variant):
+    each round every vertex takes the min component id among itself and
+    its neighbors; rounds needed = graph diameter (tiny here; O(log n)
+    with star-contraction at web scale — the loop shape is the same).
+    Each round's labels are ``localCheckpoint``-ed: an iterative plan
+    that references its predecessor three times grows 3^i logical nodes
+    without truncation and stalls the ANALYZER long before any task
+    runs — checkpointing per round keeps planning O(1) per iteration
+    (on a cluster this would be a reliable checkpoint / intermediate
+    table). Output: (doc_id, component_id, n_members), only for docs
+    that participate in at least one near-dup pair."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(docs)
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # the label table is tiny relative to the corpus (only docs in
+        # near-dup pairs) — broadcast it so each round is shuffle-light
+        nbr = sym.join(
+            F.broadcast(labels.withColumnRenamed("doc_id", "doc_b")), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "comp")
+        new = (
+            labels.select("doc_id", "comp")
+            .unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(F.broadcast(labels.withColumnRenamed("comp", "old")), "doc_id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    w = Window.partitionBy("comp")
+    out = labels.select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        F.count("*").over(w).alias("n_members"),
+    )
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sym.unpersist()
+    return out
+
+
+def duckdb_components_sql(table_sql: str) -> str:
+    """Recursive-CTE oracle: min reachable doc_id over the same verified
+    near-dup edge set (UNION dedups rows, so the recursion terminates at
+    the transitive closure)."""
+    return f"""
+    WITH RECURSIVE prs AS ({duckdb_jaccard_sql(table_sql)}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM prs
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM prs
+    ),
+    reach(doc_id, anc) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.s, r.anc FROM edges e JOIN reach r ON r.doc_id = e.t
+    ),
+    comp AS (
+      SELECT doc_id, min(anc) AS component_id FROM reach GROUP BY 1
+    )
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS n_members
+    FROM comp
+    """
+
+
 # ---------------------------------------------------------------- SimHash
 def _token_hash(base: int):
     chars = F.transform(

@@ -115,3 +115,27 @@ def test_ivf_topk_recall_vs_brute(emb):
     assert (merged.cos_micro_i == merged.cos_micro_b).all()
     hits = len(merged)
     assert hits >= len(brute) // 2  # sane recall on random data
+
+
+def test_dedup_components_clusters_mutant_chains(spark, docs):
+    """A doc with both a mutant (doc_id+1e6) and an exact copy
+    (doc_id+2e6) forms one 3-member component labeled by the original
+    (min) id."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": [3, 7, 11],
+        "text": [
+            " ".join(f"tok{i}" for i in range(30)),   # %10==3 -> mutant
+            " ".join(f"foo{i}" for i in range(30)),   # %25==7 -> exact copy
+            " ".join(f"bar{i}" for i in range(30)),   # 11: no twins planted
+        ],
+    })
+    base = spark.createDataFrame(pdf)
+    out = dedup.dedup_components(dedup.with_mutants(base)).toPandas()
+    comp3 = out[out.component_id == 3]
+    assert set(comp3.doc_id) == {3, 3 + dedup.MUTANT_OFFSET}
+    assert (comp3.n_members == 2).all()
+    comp7 = out[out.component_id == 7]
+    assert set(comp7.doc_id) == {7, 7 + dedup.EXACT_OFFSET}
+    assert 11 not in set(out.doc_id)  # no near-dups -> not in any component
