@@ -25,6 +25,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--decoder", default="greedy", choices=["greedy", "beamsearch", "wordbeamsearch"]
     )
+    p.add_argument(
+        "--allowlist",
+        default=None,
+        help="restrict recognition to these characters (reference "
+        "easyocr --allowlist; masks the other softmax classes)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,10 +57,13 @@ def main(argv: list[str] | None = None) -> int:
             n_units=args.n_units,
             snapshot_id=snap,
             decoder=args.decoder,
+            allowlist=args.allowlist,
         )
         print(json.dumps(res))
     else:
-        out = pipeline.extract_documents(docs, media, decoder=args.decoder)
+        out = pipeline.extract_documents(
+            docs, media, decoder=args.decoder, allowlist=args.allowlist
+        )
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"docs": spark.read.parquet(args.output).count()}))
     if owns_session:

@@ -70,6 +70,7 @@ def ocr_media_refs(
     media: DataFrame,
     num_partitions: int | None = None,
     decoder: str = "greedy",
+    allowlist: str | None = None,
 ) -> DataFrame:
     """Distinct media refs -> (media_ref, text, conf, n_boxes).
 
@@ -88,7 +89,10 @@ def ocr_media_refs(
         .distinct()
     )
     with_bytes = refs.join(media, "media_ref", "inner")
-    kernel = ocr_batches if decoder == "greedy" else make_ocr_batches(decoder)
+    if decoder == "greedy" and allowlist is None:
+        kernel = ocr_batches
+    else:
+        kernel = make_ocr_batches(decoder, allowlist)
     return with_bytes.repartition(n, "media_ref").mapInPandas(
         kernel, schema=OCR_RESULT_SCHEMA
     )
@@ -99,6 +103,7 @@ def extract_spans(
     media: DataFrame,
     decoder: str = "greedy",
     keep_empty: bool = False,
+    allowlist: str | None = None,
 ) -> DataFrame:
     """Flat extracted spans: media text filled in, text spans untouched.
     Output columns: doc_id, offset, kind, text, media_ref.
@@ -114,7 +119,7 @@ def extract_spans(
     skew.py is the fallback — see operators/skew.py.)
     """
     spans = explode_spans(docs, keep_empty=keep_empty)
-    results = ocr_media_refs(spans, media, decoder=decoder).select(
+    results = ocr_media_refs(spans, media, decoder=decoder, allowlist=allowlist).select(
         F.col("media_ref").alias("r_ref"), F.col("text").alias("ocr_text")
     )
     join_key = F.when(F.col("kind") == "media", F.col("media_ref"))
@@ -152,7 +157,10 @@ def reassemble(extracted_spans: DataFrame) -> DataFrame:
 
 
 def extract_documents(
-    docs: DataFrame, media: DataFrame, decoder: str = "greedy"
+    docs: DataFrame,
+    media: DataFrame,
+    decoder: str = "greedy",
+    allowlist: str | None = None,
 ) -> DataFrame:
     """Full pipeline: nested in, nested out — every media span's text
     replaced by its recognized string, order restored by offset.
@@ -160,4 +168,8 @@ def extract_documents(
     posexplode_outer (empty array -> one null marker row that the
     reassembly agg folds into an empty array) — no doc_id spine join,
     one scan of the documents table total."""
-    return reassemble(extract_spans(docs, media, decoder=decoder, keep_empty=True))
+    return reassemble(
+        extract_spans(
+            docs, media, decoder=decoder, keep_empty=True, allowlist=allowlist
+        )
+    )

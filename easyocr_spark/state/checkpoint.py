@@ -96,6 +96,7 @@ def run_extraction(
     snapshot_id: str = "",
     run_id: str | None = None,
     decoder: str = "greedy",
+    allowlist: str | None = None,
 ) -> dict:
     """Process all not-yet-done units; returns run metrics.
 
@@ -115,7 +116,9 @@ def run_extraction(
     if todo.isEmpty():
         return {"run_id": run_id, "units_processed": 0, "docs": 0}
 
-    extracted = pipeline.extract_documents(todo.drop("unit_id"), media, decoder=decoder)
+    extracted = pipeline.extract_documents(
+        todo.drop("unit_id"), media, decoder=decoder, allowlist=allowlist
+    )
     out = extracted.withColumn(
         "unit_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_units)).cast("int")
     )
