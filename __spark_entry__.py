@@ -156,6 +156,18 @@ def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refs.mapInPandas(udfs.dims_batches, schema=udfs.DIMS_RESULT_SCHEMA)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction as a verified operator: decode ->
+    dims + mean luminance + ink ratio, matched against atlas-popcount
+    arithmetic (even pixel statistics are formula-checkable)."""
+    from easyocr_spark.sources import multimodal
+
+    refs = _distinct_media(spark, sf_dir)
+    return refs.mapInPandas(
+        multimodal.image_features, schema=multimodal.IMAGE_META_SCHEMA
+    ).select("media_ref", "width", "height", "mean_luma", "ink_ratio_milli")
+
+
 def q_media_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Color-ingest branch: the color media class is stored as
     truecolor PNG; decode must report 3 source channels (vs 1 for
@@ -401,6 +413,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ocr_paragraphs": q_ocr_paragraphs,
         "media_dims": q_media_dims,
         "media_channels": q_media_channels,
+        "media_features": q_media_features,
         "span_stats": q_span_stats,
         "media_ref_usage": q_media_ref_usage,
         "dedup_exact": q_dedup_exact,
@@ -490,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
                    {wexpr} AS width, {hexpr} AS height
             FROM ({DUCK_DISTINCT_REFS})
         """,
+        "media_features": corpus.duckdb_image_features_sql(DUCK_DISTINCT_REFS),
         "span_stats": f"""
             SELECT doc_id, count(*) AS n_spans,
                    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)

@@ -376,6 +376,62 @@ def duckdb_slanted_geometry_sql(refs_sql: str) -> str:
     """
 
 
+def duckdb_image_features_sql(refs_sql: str) -> str:
+    """Oracle for the image_features kernel: (media_ref, width, height,
+    mean_luma, ink_ratio_milli). Ink pixel counts come from the glyph
+    atlases' per-word popcounts (embedded as literals — the 'weights'
+    are deterministic, so even pixel statistics are formula-checkable);
+    mean = (g_ink*ink + bg*(total-ink)) // total with integer floor
+    (exact: float64 mean of a uint8 image cannot round across an
+    integer boundary at these image sizes)."""
+    from .fonts import MODEL_ATLASES
+
+    def word_inks(model: str) -> str:
+        atlas = MODEL_ATLASES[model]
+        vals = [sum(int(atlas[c].sum()) for c in w) for w in VOCAB]
+        return "[" + ", ".join(str(v) for v in vals) + "]"
+
+    a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    wexpr, hexpr = duckdb_dims_exprs("media_ref")
+    # BT.601 gray of the color inks (what decode_gray reports for ink px)
+    color_grays = [
+        (77 * r + 150 * g + 29 * bl + 128) >> 8 for r, g, bl in COLOR_INKS
+    ]
+    ink_lists = {m: word_inks(m) for m in ("latin", "cjk")}
+    ink_px = f"""
+      CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 64
+      ELSE (2 + 2*(({a} + {b}) % 2)) * (2 + 2*(({a} + {b}) % 2)) *
+        CAST(list_sum(flatten(list_transform(range(0, ({a} + 2*({b})) % 2 + 1), L ->
+          list_transform(range(0, (({a}) + 3*({b}) + L) % 3 + 1), j ->
+            list_extract(CASE WHEN ({a}) % 3 = 1 THEN {ink_lists['cjk']}
+                              ELSE {ink_lists['latin']} END,
+              CAST((({a})*31 + ({b})*17 + L*13 + j*7) % 64 + 1 AS INT)))))) AS BIGINT)
+      END"""
+    g_ink = f"""
+      CASE WHEN ({a} + {b}) % 7 = 0 AND (7*({a}) + ({b})) % 23 <> 0 THEN 180
+           WHEN (7*({a}) + ({b})) % 23 <> 0 AND ({a} + {b}) % 5 = 1 THEN
+             CASE WHEN ({a}) % 3 = 0 THEN {color_grays[0]}
+                  WHEN ({a}) % 3 = 1 THEN {color_grays[1]}
+                  ELSE {color_grays[2]} END
+           ELSE 0 END"""
+    bg = f"CASE WHEN ({a} + {b}) % 7 = 0 AND (7*({a}) + ({b})) % 23 <> 0 THEN 220 ELSE 255 END"
+    return f"""
+    WITH refs AS (SELECT media_ref FROM ({refs_sql})),
+    geo AS (
+      SELECT media_ref, CAST({wexpr} AS BIGINT) * CAST({hexpr} AS BIGINT) AS total,
+             {ink_px} AS ink, {g_ink} AS g, {bg} AS bg,
+             {wexpr} AS width, {hexpr} AS height
+      FROM refs
+    )
+    SELECT media_ref, width, height,
+           CAST((g * ink + bg * (total - ink)) // total AS INT) AS mean_luma,
+           CAST((CASE WHEN g < 128 THEN ink ELSE 0 END) * 1000 // total AS INT)
+             AS ink_ratio_milli
+    FROM geo
+    """
+
+
 def duckdb_poly_geometry_sql(refs_sql: str) -> str:
     """Expected getPoly_core-style staircase polygons per slanted
     media_ref: (media_ref, box_idx, pt_idx, x, y) integer pixels.
