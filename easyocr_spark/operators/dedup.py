@@ -366,25 +366,35 @@ def duckdb_components_sql(table_sql: str) -> str:
 
 
 # ---------------------------------------------------------------- SimHash
-def _token_hash(base: int):
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("token")),
-        lambda i: F.ascii(F.substring(F.col("token"), i, 1)),
-    )
+def _poly_hash(chars_col, base: int):
     return F.aggregate(
-        chars, F.lit(0).cast("long"), lambda acc, c: (acc * base + c) % HASH_MOD
+        chars_col, F.lit(0).cast("long"), lambda acc, c: (acc * base + c) % HASH_MOD
     )
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sim1, sim2): two 31-bit halves of a 62-bit SimHash over
     frequency-weighted whitespace tokens, with an engine-portable token
-    hash — the DuckDB oracle reproduces signatures bit-for-bit."""
+    hash — the DuckDB oracle reproduces signatures bit-for-bit.
+
+    The char-code array is MATERIALIZED in its own projection before
+    the two polynomial folds: substring-per-char extraction is the
+    expensive part and an inlined HOF expression would re-run it once
+    per hash base (the lambda-CSE trap from the shingle path)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
     )
-    hashed = toks.select(
-        "doc_id", _token_hash(HASH_BASE_1).alias("t1"), _token_hash(HASH_BASE_2).alias("t2")
+    with_chars = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("token")),
+            lambda i: F.ascii(F.substring(F.col("token"), i, 1)),
+        ).alias("cs"),
+    )
+    hashed = with_chars.select(
+        "doc_id",
+        _poly_hash(F.col("cs"), HASH_BASE_1).alias("t1"),
+        _poly_hash(F.col("cs"), HASH_BASE_2).alias("t2"),
     )
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
