@@ -164,6 +164,11 @@ class StandInReader:
         blocklist: str | None = None,
     ):
         self.lang_list = lang_list or ["latin"]
+        # Chinese models force the greedy decoder (reference
+        # easyocr/easyocr.py:371: model_lang chinese_* overrides the
+        # requested decoder) — beam variants are latin-model paths
+        if "chinese" in self.lang_list:
+            decoder = "greedy"
         self.decoder = decoder
         self.detect_network = detect_network
         self.ignore = build_ignore_mask(allowlist, blocklist)

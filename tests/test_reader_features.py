@@ -265,3 +265,11 @@ def test_detect_polys_staircase_outline():
     assert list(np.diff(tops)) == [4.0] * 4
     # upright render: no polygons
     assert all(p is None for p in detect_polys(render.render_text([["SPARK"]], scale=2)))
+
+
+def test_chinese_forces_greedy_decoder():
+    """Reference easyocr.py:371: chinese models override the requested
+    decoder with greedy."""
+    r = StandInReader(lang_list=["chinese"], decoder="beamsearch")
+    assert r.decoder == "greedy"
+    assert StandInReader(decoder="beamsearch").decoder == "beamsearch"
