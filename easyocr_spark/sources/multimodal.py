@@ -3,12 +3,11 @@
 Pattern: media lives in opaque ``binary`` columns with typed metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 kernels over ``mapInPandas``. For IMAGES everything here is real (the
-engine's own PNG codec + resizer). For AUDIO/VIDEO the sandbox ships no
-codecs, so the decode step is gated: the Spark-side plumbing — schema,
-batching, partitioning, UDF signature — is real and tested with a
-deterministic header parser, and the actual sample/frame decode raises
-NotImplementedError behind ``STRICT_DECODE`` (clearly-marked stub per
-the round brief).
+engine's own PNG codec + resizer). For AUDIO the uncompressed path is
+also REAL: PCM16 WAV decodes with pure struct/numpy (no codec needed)
+and feeds a sample-level feature kernel; compressed audio formats and
+VIDEO would need codecs the sandbox doesn't ship — video frame
+sampling remains a clearly-marked contract stub.
 """
 
 from __future__ import annotations
@@ -21,8 +20,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..fixtures.png import decode_gray, encode_gray
-
-STRICT_DECODE = False  # True -> audio/video decode raises instead of stubbing
 
 IMAGE_META_SCHEMA = (
     "media_ref string, width int, height int, mean_luma int, ink_ratio_milli int"
@@ -78,10 +75,10 @@ def make_image_resizer(max_side: int):
     return resize
 
 
-# --------------------------------------------------------- audio (stubbed)
-def _fake_wav_header(data: bytes) -> tuple[int, int]:
-    """Parse a minimal RIFF/WAVE header (real parsing — only the PCM
-    decode is stubbed). Returns (sample_rate, n_samples)."""
+# ------------------------------------------------------------------- audio
+def _wav_header(data: bytes) -> tuple[int, int]:
+    """Parse a minimal RIFF/WAVE PCM header. Returns
+    (sample_rate, n_samples)."""
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     sample_rate = struct.unpack("<I", data[24:28])[0]
@@ -91,31 +88,82 @@ def _fake_wav_header(data: bytes) -> tuple[int, int]:
     return sample_rate, data_size // bytes_per_sample
 
 
+# back-compat alias (the decode is no longer faked — see decode_wav_pcm16)
+_fake_wav_header = _wav_header
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode for 16-bit mono PCM WAV: PCM needs no codec —
+    samples are little-endian int16 straight after the 44-byte header.
+    Returns (sample_rate, int16 sample array). Compressed containers
+    (mp3/ogg/aac) would need a codec the sandbox doesn't ship; this
+    covers the uncompressed path end to end."""
+    sr, n = _wav_header(data)
+    samples = np.frombuffer(data[44 : 44 + n * 2], dtype="<i2")
+    return sr, samples
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_ref string, sample_rate int, n_samples long, duration_ms long, "
+    "peak int, rms_milli long, zero_cross long"
+)
+
+
 def audio_metadata(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Header-level audio metadata; PCM decode itself is out of scope in
-    this sandbox (no soundfile/ffmpeg) — STRICT_DECODE raises there."""
+    """Header-level audio metadata (sample rate, length, duration)."""
     for pdf in it:
         rows = []
         for ref, data in zip(pdf["media_ref"], pdf["content"]):
-            sr, n = _fake_wav_header(bytes(data))
-            if STRICT_DECODE:
-                raise NotImplementedError(
-                    "PCM decode requires an audio codec (not in sandbox)"
-                )
+            sr, n = _wav_header(bytes(data))
             rows.append((ref, sr, n, int(n * 1000 / max(sr, 1))))
         yield pd.DataFrame(
             rows, columns=["media_ref", "sample_rate", "n_samples", "duration_ms"]
         )
 
 
-def synth_wav(sample_rate: int = 16000, n_samples: int = 16000) -> bytes:
-    """Deterministic WAV container (header + silence) for plumbing tests."""
+def audio_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real sample-level audio feature extraction over decoded PCM:
+    peak amplitude, RMS (milli-units of full scale), zero-crossing
+    count — the audio analogue of image_features (decode -> typed
+    metadata, Arrow-batched, zero per-row Python at the boundary)."""
+    for pdf in it:
+        rows = []
+        for ref, data in zip(pdf["media_ref"], pdf["content"]):
+            sr, samples = decode_wav_pcm16(bytes(data))
+            x = samples.astype(np.float64)
+            n = len(samples)
+            peak = int(np.abs(samples).max()) if n else 0
+            rms = float(np.sqrt((x * x).mean())) if n else 0.0
+            zc = int(((samples[1:] >= 0) != (samples[:-1] >= 0)).sum()) if n > 1 else 0
+            rows.append(
+                (ref, sr, n, int(n * 1000 / max(sr, 1)), peak,
+                 int(rms / 32768.0 * 1000), zc)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["media_ref", "sample_rate", "n_samples", "duration_ms",
+                     "peak", "rms_milli", "zero_cross"],
+        )
+
+
+def synth_wav(
+    sample_rate: int = 16000, n_samples: int = 16000, tone_period: int = 0
+) -> bytes:
+    """Deterministic WAV (header + PCM16). tone_period=0 renders
+    silence; otherwise a square wave of that period at half amplitude —
+    enough signal for the feature kernel to have non-trivial answers."""
+    if tone_period > 0:
+        t = np.arange(n_samples)
+        samples = np.where((t // tone_period) % 2 == 0, 16384, -16384).astype("<i2")
+        body = samples.tobytes()
+    else:
+        body = b"\x00" * (n_samples * 2)
     data_size = n_samples * 2
     hdr = b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
                                  sample_rate * 2, 2, 16)
     hdr += b"data" + struct.pack("<I", data_size)
-    return hdr + b"\x00" * data_size
+    return hdr + body
 
 
 def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:

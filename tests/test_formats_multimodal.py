@@ -104,3 +104,51 @@ def test_cli_smoke(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(out).count() == 500
+
+
+def test_audio_features_kernel(spark):
+    """Real PCM decode: a square wave of period 8 at half amplitude has
+    peak 16384, RMS = amplitude (rms_milli = 500), and a zero crossing
+    every period boundary."""
+    import pandas as pd
+
+    from easyocr_spark.sources import multimodal
+
+    wav = multimodal.synth_wav(16000, 1600, tone_period=8)
+    sr, samples = multimodal.decode_wav_pcm16(wav)
+    assert sr == 16000 and len(samples) == 1600
+    assert samples[:8].tolist() == [16384] * 8
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["a1"], "content": [wav]})
+    )
+    out = df.mapInPandas(
+        multimodal.audio_features, schema=multimodal.AUDIO_FEATURES_SCHEMA
+    ).collect()[0]
+    assert out.peak == 16384
+    assert out.rms_milli == 500
+    assert out.zero_cross == 1600 // 8 - 1
+    assert out.duration_ms == 100
+
+
+def test_package_zip_is_importable(tmp_path):
+    """The --py-files artifact must be importable via zipimport, exactly
+    as spark-submit puts it on executor PYTHONPATHs."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "pkg.zip")
+    subprocess.run(
+        [_sys.executable, "tools/package.py", out], check=True, capture_output=True
+    )
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from easyocr_spark.ocr import ctc; "
+        "from easyocr_spark.operators import dedup; "
+        "print(ctc.BLANK, dedup.N_PERM)" % out
+    )
+    r = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        cwd=str(tmp_path),
+    )
+    assert r.stdout.strip() == "0 64"
