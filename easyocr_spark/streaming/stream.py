@@ -222,7 +222,15 @@ def streaming_sessionize_stateful(
     each user's LAST session when its close horizon (t_end + gap) is
     still inside the final watermark — the same closed-window discipline
     as the append-mode windowed agg. State is bounded: one open session
-    per active user, evicted on timeout."""
+    per active user, evicted on timeout.
+
+    Ordering assumption (standard for eager-fold sessionizers): a
+    user's events arrive in event-time order ACROSS micro-batches
+    (within one batch they are sorted here). Cross-batch reordering
+    inside the watermark horizon would need event buffering in state
+    until the watermark passes — a straightforward extension of the
+    same state schema, not needed for file-backed replay where file
+    order is ingestion order."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.parquet(events_path).schema
