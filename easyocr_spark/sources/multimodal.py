@@ -166,12 +166,77 @@ def synth_wav(
     return hdr + body
 
 
+# ------------------------------------------------------------------- video
+def decode_y4m_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """REAL video decode for the uncompressed YUV4MPEG2 (.y4m)
+    container: a text header (``YUV4MPEG2 W<w> H<h> ...``) followed by
+    ``FRAME\\n`` + raw planar YUV420 per frame — pure byte parsing, no
+    codec. Returns (width, height, [gray Y-plane per frame]).
+    Compressed containers (mp4/webm) need ffmpeg/pyav, which the
+    sandbox doesn't ship — this covers the uncompressed path the same
+    way PCM covers audio."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m stream")
+    hdr_end = data.index(b"\n")
+    w = h = None
+    for tok in data[:hdr_end].split(b" ")[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))  # planar 4:2:0
+    frames: list[np.ndarray] = []
+    pos = hdr_end + 1
+    while pos < len(data):
+        nl = data.index(b"\n", pos)
+        if not data[pos:nl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        start = nl + 1
+        y = np.frombuffer(data[start : start + w * h], dtype=np.uint8)
+        frames.append(y.reshape(h, w).copy())
+        pos = start + frame_bytes
+    return w, h, frames
+
+
+def make_video_frame_sampler(every_n: int = 10):
+    """mapInPandas kernel factory: (media_ref, content) -> one row per
+    SAMPLED frame (frame_idx % every_n == 0), the sampled frame stored
+    as a gray PNG — the decode -> frame-sample -> re-encode multimodal
+    pattern with zero per-row Python at the Spark boundary."""
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["content"]):
+                _, _, frames = decode_y4m_frames(bytes(data))
+                for idx in range(0, len(frames), every_n):
+                    rows.append((ref, idx, encode_gray(frames[idx])))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_idx", "frame_png"]
+            )
+
+    return sample
+
+
 def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling STUB: the sandbox has no video codec. The
-    operator contract (schema, partition grain: one output row per
-    sampled frame) is declared; calling it raises."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/pyav (not in the sandbox image); "
-        f"contract: input (media_ref, content), output {FRAME_SAMPLE_SCHEMA} "
-        f"with one row per frame_idx %% {every_n}"
+    """Frame sampling over a (media_ref, content) video table: every
+    Nth frame comes back as (media_ref, frame_idx, frame_png)."""
+    return df.mapInPandas(
+        make_video_frame_sampler(every_n), schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+def synth_y4m(width: int = 32, height: int = 24, n_frames: int = 25) -> bytes:
+    """Deterministic y4m clip: frame k's Y plane is a flat k*10 gray
+    with one bright row at k % height (so sampled frames are
+    distinguishable); chroma planes neutral."""
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode())
+    for k in range(n_frames):
+        out += b"FRAME\n"
+        y = np.full((height, width), (k * 10) % 256, dtype=np.uint8)
+        y[k % height, :] = 250
+        out += y.tobytes()
+        out += b"\x80" * (2 * (width // 2) * (height // 2))
+    return bytes(out)

@@ -84,9 +84,11 @@ def test_audio_metadata_kernel(spark):
     assert got["a_2"] == (8000, 1000)
 
 
-def test_video_stub_raises(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.video_frame_sample(None)
+def test_video_rejects_compressed_container(spark):
+    # compressed containers still need a codec; the decoder refuses
+    # anything that is not an uncompressed YUV4MPEG2 stream
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m_frames(b"\x00\x00\x00\x18ftypmp42 not a y4m")
 
 
 def test_cli_smoke(spark, tmp_path):
@@ -152,3 +154,25 @@ def test_package_zip_is_importable(tmp_path):
         cwd=str(tmp_path),
     )
     assert r.stdout.strip() == "0 64"
+
+
+def test_video_frame_sample_y4m(spark):
+    """Real uncompressed-video decode: sample every 10th frame of a
+    25-frame y4m clip -> frames 0, 10, 20, each round-tripping as PNG
+    with the synthetic frame's signature pixels."""
+    import pandas as pd
+
+    from easyocr_spark.fixtures.png import decode_gray
+    from easyocr_spark.sources import multimodal
+
+    clip = multimodal.synth_y4m(32, 24, 25)
+    w, h, frames = multimodal.decode_y4m_frames(clip)
+    assert (w, h, len(frames)) == (32, 24, 25)
+
+    df = spark.createDataFrame(pd.DataFrame({"media_ref": ["v1"], "content": [clip]}))
+    out = multimodal.video_frame_sample(df, every_n=10).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 10, 20]
+    f10 = next(r for r in out if r.frame_idx == 10)
+    img = decode_gray(bytes(f10.frame_png))
+    assert img.shape == (24, 32)
+    assert img[10, 0] == 250 and img[0, 0] == 100  # bright row + base gray
