@@ -30,10 +30,12 @@ INPUT_CHANNEL = 1
 OUTPUT_CHANNEL = 256
 HIDDEN_SIZE = 256
 IMG_H = 64  # gen2 models use 64px-high inputs (reference imgH)
-# charset: reference easyocr/character/en.txt + config 'characters';
-# index 0 is the CTC blank, matching CTCLabelConverter
+# charset: reference easyocr/config.py:151 'english_g2'.characters —
+# 96 chars INCLUDING the euro sign after the space (so the CTC head is
+# 97 classes and load_state_dict(strict=True) matches the released
+# checkpoint exactly); index 0 is the CTC blank per CTCLabelConverter
 EN_G2_CHARSET = (
-    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ "
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ €"
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 )
 

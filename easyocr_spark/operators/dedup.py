@@ -307,6 +307,7 @@ def dedup_components(docs: DataFrame, max_iter: int = 12) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         # the label table is tiny relative to the corpus (only docs in
         # near-dup pairs) — broadcast it so each round is shuffle-light
@@ -328,6 +329,15 @@ def dedup_components(docs: DataFrame, max_iter: int = 12) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # a chain whose graph diameter exceeds max_iter would return
+        # silently WRONG component ids — fail loudly instead (the
+        # web-scale fix is star-contraction, O(log n) rounds)
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the "
+            "near-dup graph has diameter larger than expected"
+        )
     w = Window.partitionBy("comp")
     out = labels.select(
         "doc_id",

@@ -105,8 +105,11 @@ def _plane_dot(emb: Column, j: int) -> Column:
     The dimension range follows the actual array length (size() is
     evaluated outside the lambda, so no per-element re-evaluation);
     weights still index as j*DIM + d so the 64-dim oracle arithmetic is
-    unchanged on the driver tables."""
-    return F.aggregate(
+    unchanged on the driver tables. An EMPTY array short-circuits to
+    0.0: sequence(0, size-1) would otherwise build [0, -1] (Catalyst
+    trap — sequence steps downward when end < start) and element_at
+    would fault."""
+    fold = F.aggregate(
         F.transform(
             F.sequence(F.lit(0), F.size(emb) - 1),
             lambda d: (
@@ -117,6 +120,7 @@ def _plane_dot(emb: Column, j: int) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    return F.when(F.size(emb) > 0, fold).otherwise(F.lit(0.0))
 
 
 def lsh_bucket(emb: Column) -> Column:

@@ -5,9 +5,11 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 kernels over ``mapInPandas``. For IMAGES everything here is real (the
 engine's own PNG codec + resizer). For AUDIO the uncompressed path is
 also REAL: PCM16 WAV decodes with pure struct/numpy (no codec needed)
-and feeds a sample-level feature kernel; compressed audio formats and
-VIDEO would need codecs the sandbox doesn't ship — video frame
-sampling remains a clearly-marked contract stub.
+and feeds a sample-level feature kernel. For VIDEO the uncompressed
+YUV4MPEG2 path is REAL too (``decode_y4m_frames`` parses the container
+byte-for-byte and feeds frame sampling); compressed audio/video
+formats would need codecs the sandbox doesn't ship and are rejected
+explicitly.
 """
 
 from __future__ import annotations
@@ -179,13 +181,25 @@ def decode_y4m_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
         raise ValueError("not a y4m stream")
     hdr_end = data.index(b"\n")
     w = h = None
+    cspace = b"420"  # y4m default when no C token is present
     for tok in data[:hdr_end].split(b" ")[1:]:
         if tok.startswith(b"W"):
             w = int(tok[1:])
         elif tok.startswith(b"H"):
             h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            cspace = tok[1:]
     if not w or not h:
         raise ValueError("y4m header missing W/H")
+    # frame size below assumes 4:2:0 subsampling; a C422/C444/Cmono
+    # stream has different plane sizes and would misparse frame
+    # boundaries into garbage — reject instead. C420 variants
+    # (C420, C420jpeg, C420paldv, C420mpeg2) all share the plane layout.
+    if not cspace.startswith(b"420"):
+        raise ValueError(
+            f"unsupported y4m colourspace C{cspace.decode('ascii', 'replace')}"
+            " (only 4:2:0 variants are parseable here)"
+        )
     frame_bytes = w * h + 2 * ((w // 2) * (h // 2))  # planar 4:2:0
     frames: list[np.ndarray] = []
     pos = hdr_end + 1
