@@ -179,6 +179,18 @@ CENTROID_MOD = 25  # deterministic codebook: vec_id % 25 == 3 are centroids
 NPROBE = 2
 
 
+def _py_norm2(vals) -> float:
+    """Squared norm as a LEFT FOLD in index order over doubles — the
+    exact arithmetic Spark's F.aggregate fold and DuckDB's list_reduce
+    produce, so a driver-side precomputed norm is bit-identical to one
+    computed per pair inside either engine."""
+    acc = 0.0
+    for v in vals:
+        x = float(v)
+        acc = acc + x * x
+    return acc
+
+
 def ivf_topk(
     embeddings: DataFrame, k: int = K, nprobe: int = NPROBE
 ) -> DataFrame:
@@ -192,40 +204,71 @@ def ivf_topk(
     reproduces the exact same lists — swap in trained centroids and
     nothing else changes.
 
-    Plan shape at scale: centroids broadcast (tiny), assignment is a
-    narrow map over the corpus (one scan), the probe join is
-    centroid-id equi-join — no all-pairs anywhere."""
-    cents = embeddings.filter(F.col("vec_id") % CENTROID_MOD == 3).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    Assignment is MAP-SIDE: the codebook is collected to the driver
+    (legitimately tiny — IVF codebooks are O(sqrt n) rows by
+    construction; collecting one is how FAISS-style engines broadcast
+    trained centroids) and embedded as a literal struct array, and each
+    corpus row folds over it in ONE projection to produce its sorted
+    nprobe-nearest centroid ids. Zero Exchange for assignment — the
+    former shape (crossJoin(broadcast) + Window.partitionBy(vec_id))
+    shuffled n x nlist scored rows just to take an argmin, an n^1.5-row
+    Exchange at 100 TB. The only shuffles left are the probe equi-join
+    on cent_id and the final bounded top-k window."""
+    cent_rows = sorted(
+        embeddings.filter(F.col("vec_id") % CENTROID_MOD == 3)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    scored = (
-        embeddings.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            cos_micro(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(v)) for v in r.embedding]).alias("c_emb"),
+                F.lit(_py_norm2(r.embedding)).alias("c_n2"),
+            )
+            for r in cent_rows
+        ]
+    )
+    # n2 is materialized as a real column BEFORE the lambda so the fold
+    # inside the transform references a column, not an expression the
+    # HOF would re-evaluate once per centroid (lambda-CSE trap)
+    with_n2 = embeddings.select(
+        "vec_id", "embedding", _norm2(F.col("embedding")).alias("n2")
+    )
+    # array_sort on struct(-cos, cent_id) == ORDER BY cos DESC, cent_id
+    # ASC; identical tie-breaks to the oracle's row_number ordering
+    cands = F.array_sort(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (
+                    -cos_micro_pre(
+                        F.col("embedding"), c["c_emb"], F.col("n2"), c["c_n2"]
+                    )
+                ).alias("neg_cos"),
+                c["cent_id"].alias("cent_id"),
+            ),
         )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id").asc()
-    )
-    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("crank") == 1).select(
+    ranked = with_n2.select("vec_id", "embedding", "n2", cands.alias("cands"))
+    assigned = ranked.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
-        _norm2(F.col("embedding")).alias("n_n2"),
-        "cent_id",
+        F.col("n2").alias("n_n2"),
+        F.element_at(F.col("cands"), 1)["cent_id"].alias("cent_id"),
     )
     probes = (
-        ranked.filter(
-            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("crank") <= nprobe)
-        )
+        ranked.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            _norm2(F.col("embedding")).alias("q_n2"),
-            "cent_id",
+            F.col("n2").alias("q_n2"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("cands"), 1, nprobe), lambda c: c["cent_id"]
+                )
+            ).alias("cent_id"),
         )
     )
     cand = (
