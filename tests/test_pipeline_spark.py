@@ -142,3 +142,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def _doc_strings(df):
+    """Canonical per-doc string: doc_id + offset-ordered span tuples —
+    nested-array-safe equality across plan shapes."""
+    return sorted(
+        df.select(
+            "doc_id",
+            F.to_json(F.col("spans")).alias("j"),
+        ).collect()
+    )
+
+
+def test_flagship_join_parity_broadcast_vs_shuffle_vs_salted(docs, media, spark):
+    """The 100-TB join path, exercised end-to-end: with broadcast
+    disabled (autoBroadcastJoinThreshold=-1) the OCR results join-back
+    and the media join take their at-scale shuffle shapes, and the
+    explicit salted fallback (operators/skew.salted_join) must all
+    produce the exact documents the broadcast plan does."""
+    base = _doc_strings(pipeline.extract_documents(docs, media))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced_df = pipeline.extract_documents(docs, media)
+        plan = forced_df._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        assert "BroadcastHashJoin" not in plan, plan
+        forced = _doc_strings(forced_df)
+        salted_df = pipeline.extract_documents(docs, media, results_join="salted")
+        salted_plan = salted_df._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in salted_plan, salted_plan
+        salted = _doc_strings(salted_df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert forced == base
+    assert salted == base
