@@ -143,59 +143,98 @@ SESSION_OUT_SCHEMA = (
 )
 SESSION_STATE_SCHEMA = (
     "session_id long, t_start_ms long, t_end_ms long, n_events long, "
-    "value_sum double"
+    "value_sum double, buf_us array<long>, buf_eid array<long>, "
+    "buf_val array<double>"
 )
 
 
 def _make_session_fn(gap_ms: int):
     """Stateful per-user session assembler for applyInPandasWithState.
 
-    State = the user's OPEN session (id, bounds, count, running sum).
-    Each invocation folds the batch's events (sorted by ts, event_id)
-    into it, EMITTING a session whenever a gap > gap_ms splits it —
-    exactly the batch lag+cumsum semantics (operators/events.sessionize,
-    gaps measured on floor-second epochs). The open session emits when
-    its event-time timeout (t_end + gap) falls behind the watermark."""
+    State = the user's OPEN session (id, bounds, count, running sum)
+    plus a BUFFER of not-yet-sealed events. An event is sealed once the
+    watermark passes its timestamp: Spark drops any later arrival below
+    the watermark before this operator, so no future row can ever sort
+    before a sealed one — folding ONLY sealed events (in ts, event_id
+    order) makes the eager fold correct under arbitrary cross-batch
+    reordering inside the watermark horizon. Unsealed events wait in
+    state (bounded by the watermark horizon per user) until a later
+    batch or event-time timeout seals them.
+
+    Emission matches the batch lag+cumsum semantics
+    (operators/events.sessionize, gaps on floor-second epochs): a
+    session emits when a sealed gap > gap_ms splits it, or when the
+    watermark passes its close horizon (t_end + gap). After a close the
+    state row stays behind as a TOMBSTONE carrying session_id, so a
+    user who reappears in a later micro-batch continues the batch
+    numbering instead of restarting at 1 (state size: one small row per
+    distinct user ever seen — the same user-cardinality bound as the
+    batch sessionize shuffle)."""
     import pandas as pd
+
+    gap_s = gap_ms // 1000
 
     def fn(key, pdfs, state):
         (user_id,) = key
-        if state.hasTimedOut:
-            sid, t0, t1, n, vs = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [(user_id, sid, n, t0, t1, int(np.floor(vs * 1000)))],
-                columns=["user_id", "session_id", "n_events", "t_start_ms",
-                         "t_end_ms", "value_sum_milli"],
-            )
-            return
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
-        epochs_ms = rows["ts_tz"].astype("datetime64[ns]").astype("int64") // 1_000_000
-        values = rows["value"].astype(float).tolist()
-        out = []
+        wm = state.getCurrentWatermarkMs()
         if state.exists:
-            sid, t0, t1, n, vs = state.get
+            sid, t0, t1, n, vs, b_us, b_eid, b_val = state.get
+            buf = list(zip(list(b_us), list(b_eid), list(b_val)))
         else:
             sid, t0, t1, n, vs = 0, None, None, 0, 0.0
-        for t_ms, v in zip(epochs_ms.tolist(), values):
+            buf = []
+        if not state.hasTimedOut:
+            frames = list(pdfs)
+            rows = pd.concat(frames, ignore_index=True) if frames else None
+            if rows is not None and len(rows):
+                # microsecond epochs keep the batch (ts, event_id) sort
+                # exact even when floor-ms would tie
+                ep_us = (
+                    rows["ts_tz"].astype("datetime64[ns]").astype("int64") // 1000
+                )
+                buf.extend(
+                    zip(
+                        ep_us.tolist(),
+                        rows["event_id"].tolist(),
+                        rows["value"].astype(float).tolist(),
+                    )
+                )
+        buf.sort()
+        out = []
+        keep = []
+        for t_us, eid, v in buf:
+            t_ms = t_us // 1000
+            if t_ms >= wm:
+                keep.append((t_us, eid, v))
+                continue
             # batch semantics: gap on floor-second epochs
-            if t0 is None or (t_ms // 1000) - (t1 // 1000) > gap_ms // 1000:
+            if t0 is None or (t_ms // 1000) - (t1 // 1000) > gap_s:
                 if t0 is not None:
                     out.append((user_id, sid, n, t0, t1, int(np.floor(vs * 1000))))
                 sid, t0, t1, n, vs = sid + 1, t_ms, t_ms, 1, v
             else:
                 t1, n, vs = t_ms, n + 1, vs + v
-        wm = state.getCurrentWatermarkMs()
-        if t1 is not None and t1 + gap_ms <= wm:
-            # already closeable: the watermark passed this session's
-            # horizon while the batch was in flight
+        if t0 is not None and t1 + gap_ms <= wm:
+            # the watermark passed this session's close horizon: every
+            # future event (ts >= wm >= t_end + gap) starts a new session
             out.append((user_id, sid, n, t0, t1, int(np.floor(vs * 1000))))
-            state.remove()
-        else:
-            state.update((sid, t0, t1, n, vs))
-            state.setTimeoutTimestamp(t1 + gap_ms)
+            t0, t1, n, vs = None, None, 0, 0.0
+        state.update(
+            (
+                sid, t0, t1, n, vs,
+                [b[0] for b in keep],
+                [b[1] for b in keep],
+                [b[2] for b in keep],
+            )
+        )
+        horizons = []
+        if t0 is not None:
+            horizons.append(t1 + gap_ms)
+        if keep:
+            # wake as soon as the earliest buffered event can seal
+            horizons.append(keep[0][0] // 1000 + 1)
+        if horizons:
+            state.setTimeoutTimestamp(max(min(horizons), wm + 1))
         if out:
             yield pd.DataFrame(
                 out,
@@ -211,6 +250,7 @@ def streaming_sessionize_stateful(
     events_path: str,
     gap_minutes: int = SESSION_GAP_MIN,
     watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
     gap-based sessionization with explicit per-user state and event-time
@@ -221,16 +261,14 @@ def streaming_sessionize_stateful(
     Contract: emitted sessions equal the batch sessionize output minus
     each user's LAST session when its close horizon (t_end + gap) is
     still inside the final watermark — the same closed-window discipline
-    as the append-mode windowed agg. State is bounded: one open session
-    per active user, evicted on timeout.
-
-    Ordering assumption (standard for eager-fold sessionizers): a
-    user's events arrive in event-time order ACROSS micro-batches
-    (within one batch they are sorted here). Cross-batch reordering
-    inside the watermark horizon would need event buffering in state
-    until the watermark passes — a straightforward extension of the
-    same state schema, not needed for file-backed replay where file
-    order is ingestion order."""
+    as the append-mode windowed agg. The contract holds under ARBITRARY
+    cross-batch event reordering within the watermark horizon (events
+    are buffered in state until the watermark seals them — see
+    _make_session_fn; exercised by the shuffled-file-order test with
+    max_files_per_trigger=1), and session numbering survives state
+    eviction: closed users leave a tombstone carrying their session_id.
+    State is bounded: one open session + an in-horizon event buffer per
+    active user."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.parquet(events_path).schema
@@ -238,9 +276,11 @@ def streaming_sessionize_stateful(
         d = tempfile.mkdtemp(prefix="stream_src_")
         shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
         events_path = d
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(events_path)
+        reader.parquet(events_path)
         .withColumn("ts_tz", F.col("ts").cast("timestamp"))
         .withWatermark("ts_tz", watermark)
     )

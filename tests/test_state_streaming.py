@@ -113,6 +113,99 @@ def test_streaming_append_matches_closed_windows(spark, tmp_path):
     assert events.windowed_counts(ev).count() > got.count()
 
 
+def test_stateful_sessionize_shuffled_file_order(spark, tmp_path):
+    """Cross-batch event reordering inside the watermark horizon + state
+    eviction mid-stream must not change the result.
+
+    Deterministic corpus: user 1 pauses 3600s (> gap) while user 2 keeps
+    the watermark advancing, so user 1's open session is closed by
+    EVENT-TIME TIMEOUT mid-stream — its later events must continue the
+    batch session numbering (the tombstone contract). Files: each 300s
+    block of the timeline is split into two interleaved halves fed in
+    REVERSED order with maxFilesPerTrigger=1, so a user's events arrive
+    out of event-time order across micro-batches (bounded by the block
+    span, 300s < the 600s watermark — nothing is late-dropped). The
+    pre-buffering eager fold produced garbage sessions on exactly this
+    input."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    # user 1: session, 3600s pause (mid-stream timeout eviction), then a
+    # SECOND session that also closes and emits before the stream ends —
+    # a sid reset after eviction would emit it as a colliding session 1
+    rows += [(1, t) for t in range(0, 1201, 60)]
+    rows += [(1, t) for t in range(4800, 5001, 60)]
+    # user 2: continuous — keeps the watermark moving during the pauses
+    rows += [(2, t) for t in range(30, 7891, 60)]
+    # user 3: session, pause, still-open trailing session (withheld)
+    rows += [(3, t) for t in range(15, 2956, 60)]
+    rows += [(3, t) for t in range(5400, 5941, 60)]
+    rows.sort(key=lambda r: (r[1], r[0]))
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [u for u, _ in rows],
+            "ts": [base + pd.Timedelta(seconds=t) for _, t in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [(i % 7) * 0.25 for i in range(len(rows))],
+        }
+    )
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    pdf["block"] = [t // 300 for _, t in rows]
+    mtime = 1_700_000_000
+    for blk in sorted(pdf["block"].unique()):
+        part = pdf[pdf["block"] == blk].drop(columns=["block"])
+        # interleaved halves, LATER-arriving half fed first
+        for tag, half in (("b", part.iloc[1::2]), ("a", part.iloc[0::2])):
+            if not len(half):
+                continue
+            f = src / f"blk{blk:03d}_{tag}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(half, preserve_index=False),
+                f,
+                coerce_timestamps="us",  # Spark rejects TIMESTAMP(NANOS)
+            )
+            mtime += 10
+            os.utime(f, (mtime, mtime))
+    # ~53 one-file micro-batches: shrink the per-batch state-store cost
+    # (32 partitions x 53 commits) — 3 users only need a few partitions
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got = stream.streaming_sessionize_stateful(
+            spark, str(src), max_files_per_trigger=1
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    ev = spark.read.parquet(str(src))
+    batch = events.sessionize(ev)
+    mt_ms = ev.select(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    from pyspark.sql import Window
+
+    last = batch.withColumn(
+        "max_sid", F.max("session_id").over(Window.partitionBy("user_id"))
+    )
+    closed = last.filter(
+        ~(
+            (F.col("session_id") == F.col("max_sid"))
+            & (F.col("t_end_ms") + 1800_000 >= mt_ms - 600_000)
+        )
+    ).drop("max_sid")
+    assert got.count() >= 3  # u1 sessions 1+2 and u3 session 1 closed
+    assert got.exceptAll(closed).count() == 0
+    assert closed.exceptAll(got).count() == 0
+    # numbering survived the mid-stream eviction: user 1's post-pause
+    # session emits as 2, not a colliding restart at 1
+    u1 = sorted(r.session_id for r in got.collect() if r.user_id == 1)
+    assert u1 == [1, 2]
+    got.unpersist()
+
+
 def test_stateful_sessionize_matches_closed_batch_sessions(spark):
     ev_path = os.path.join(SF, "events.parquet")
     got = stream.streaming_sessionize_stateful(spark, ev_path)
