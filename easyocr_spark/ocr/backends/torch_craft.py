@@ -135,6 +135,65 @@ def build_model():
     return CraftNet()
 
 
+def _conv_entry(p: dict, prefix: str, c_out: int, c_in: int, k: int,
+                bias: bool = True) -> None:
+    p[f"{prefix}.weight"] = (c_out, c_in, k, k)
+    if bias:
+        p[f"{prefix}.bias"] = (c_out,)
+
+
+def _bn_entry(p: dict, prefix: str, ch: int) -> None:
+    p[f"{prefix}.weight"] = (ch,)
+    p[f"{prefix}.bias"] = (ch,)
+    p[f"{prefix}.running_mean"] = (ch,)
+    p[f"{prefix}.running_var"] = (ch,)
+    p[f"{prefix}.num_batches_tracked"] = ()
+
+
+def expected_params() -> dict[str, tuple[int, ...]]:
+    """Name -> shape of every parameter/buffer of build_model()'s
+    module, derived WITHOUT torch from the same constants the builder
+    uses (_VGG_CFG / _SLICES / the literal neck, up and head specs).
+    With torch absent, tests prove remap_key() against the recorded
+    checkpoint layout (manifests.craft_checkpoint_manifest); with torch
+    present, tests also assert this equals model.state_dict() shapes."""
+    p: dict[str, tuple[int, ...]] = {}
+    flat: list[tuple[str, int, int]] = []
+    c_in = 3
+    for v in _VGG_CFG:
+        if v == "M":
+            flat.append(("pool", 0, 0))
+        else:
+            flat.append(("conv", c_in, v))
+            flat.append(("bn", v, v))
+            flat.append(("relu", 0, 0))
+            c_in = v
+    for si, (a, b) in enumerate(_SLICES):
+        for idx in range(a, b):
+            kind, ci, co = flat[idx]
+            pre = f"stages.{si}.{idx - a}"
+            if kind == "conv":
+                _conv_entry(p, pre, co, ci, 3)
+            elif kind == "bn":
+                _bn_entry(p, pre, co)
+    _conv_entry(p, "neck.1", 1024, 512, 3)
+    _conv_entry(p, "neck.2", 1024, 1024, 1)
+    for i, (cin, cmid, cout) in enumerate(
+        [(1024, 512, 256), (512, 256, 128), (256, 128, 64), (128, 64, 32)],
+        start=1,
+    ):
+        _conv_entry(p, f"up{i}.block.0", cmid, cin + cmid, 1)
+        _bn_entry(p, f"up{i}.block.1", cmid)
+        _conv_entry(p, f"up{i}.block.3", cout, cmid, 3)
+        _bn_entry(p, f"up{i}.block.4", cout)
+    for idx, (ci, co, k) in zip(
+        (0, 2, 4, 6, 8),
+        [(32, 32, 3), (32, 32, 3), (32, 16, 3), (16, 16, 1), (16, 2, 1)],
+    ):
+        _conv_entry(p, f"head.{idx}", co, ci, k)
+    return p
+
+
 def remap_key(ckpt_key: str) -> str | None:
     """Translate a craft_mlt_25k.pth state_dict key to this module's
     naming. Returns None for keys we don't carry (none expected)."""

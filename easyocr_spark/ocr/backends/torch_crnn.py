@@ -88,6 +88,36 @@ def build_model(num_class: int = len(EN_G2_CHARSET) + 1):
     return CrnnNet()
 
 
+def expected_params(num_class: int = len(EN_G2_CHARSET) + 1) -> dict[str, tuple[int, ...]]:
+    """Name -> shape of every parameter/buffer of build_model()'s
+    module, derived WITHOUT torch from the same layer spec the builder
+    uses — see torch_craft.expected_params for the test contract."""
+    from .torch_craft import _bn_entry, _conv_entry
+
+    c = [OUTPUT_CHANNEL // 8, OUTPUT_CHANNEL // 4, OUTPUT_CHANNEL // 2, OUTPUT_CHANNEL]
+    p: dict[str, tuple[int, ...]] = {}
+    _conv_entry(p, "features.0", c[0], INPUT_CHANNEL, 3)
+    _conv_entry(p, "features.3", c[1], c[0], 3)
+    _conv_entry(p, "features.6", c[2], c[1], 3)
+    _conv_entry(p, "features.8", c[2], c[2], 3)
+    _conv_entry(p, "features.11", c[3], c[2], 3, bias=False)
+    _bn_entry(p, "features.12", c[3])
+    _conv_entry(p, "features.14", c[3], c[3], 3, bias=False)
+    _bn_entry(p, "features.15", c[3])
+    _conv_entry(p, "features.18", c[3], c[3], 2)
+    for i, n_in in enumerate((OUTPUT_CHANNEL, HIDDEN_SIZE)):
+        for suffix in ("", "_reverse"):
+            p[f"seq.{i}.rnn.weight_ih_l0{suffix}"] = (4 * HIDDEN_SIZE, n_in)
+            p[f"seq.{i}.rnn.weight_hh_l0{suffix}"] = (4 * HIDDEN_SIZE, HIDDEN_SIZE)
+            p[f"seq.{i}.rnn.bias_ih_l0{suffix}"] = (4 * HIDDEN_SIZE,)
+            p[f"seq.{i}.rnn.bias_hh_l0{suffix}"] = (4 * HIDDEN_SIZE,)
+        p[f"seq.{i}.proj.weight"] = (HIDDEN_SIZE, 2 * HIDDEN_SIZE)
+        p[f"seq.{i}.proj.bias"] = (HIDDEN_SIZE,)
+    p["head.weight"] = (num_class, HIDDEN_SIZE)
+    p["head.bias"] = (num_class,)
+    return p
+
+
 def remap_key(ckpt_key: str) -> str | None:
     """english_g2.pth key -> this module's key."""
     k = ckpt_key

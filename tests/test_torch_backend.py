@@ -62,6 +62,51 @@ def test_crnn_key_remap_covers_reference_namespace():
         assert torch_crnn.remap_key(ck) == want, ck
 
 
+def _assert_remap_bijection(manifest, remap, expected):
+    mapped = {}
+    for ck, shape in manifest.items():
+        mk = remap(ck)
+        assert mk is not None, f"checkpoint key not remapped: {ck}"
+        assert mk not in mapped, f"remap collision: {ck} -> {mk}"
+        mapped[mk] = shape
+    missing = set(expected) - set(mapped)
+    extra = set(mapped) - set(expected)
+    assert not missing, f"module params the checkpoint never fills: {sorted(missing)[:5]}"
+    assert not extra, f"remap targets not in the module: {sorted(extra)[:5]}"
+    for mk, shape in mapped.items():
+        assert expected[mk] == shape, (
+            f"shape mismatch at {mk}: checkpoint {shape} vs module {expected[mk]}"
+        )
+
+
+def test_craft_manifest_remaps_onto_module_params():
+    """Torch-free proof that remap_key maps every key of the RECORDED
+    craft_mlt_25k.pth layout (manifests.py) bijectively onto the module
+    parameter set with matching shapes — a wrong slice offset, index or
+    channel count fails here instead of at production load time."""
+    from easyocr_spark.ocr.backends import manifests
+
+    _assert_remap_bijection(
+        manifests.craft_checkpoint_manifest(),
+        torch_craft.remap_key,
+        torch_craft.expected_params(),
+    )
+
+
+def test_crnn_manifest_remaps_onto_module_params():
+    from easyocr_spark.ocr.backends import manifests
+
+    _assert_remap_bijection(
+        manifests.english_g2_checkpoint_manifest(),
+        torch_crnn.remap_key,
+        torch_crnn.expected_params(),
+    )
+    # the 96-char charset (euro sign included) gives the 97-class head
+    # the published checkpoint carries
+    assert len(torch_crnn.EN_G2_CHARSET) == 96
+    assert torch_crnn.expected_params()["head.weight"] == (97, 256)
+
+
 def test_normalize_pad_shape_and_range():
     crop = np.full((32, 100), 255, dtype=np.uint8)
     crop[10:20, 10:90] = 0
@@ -125,6 +170,19 @@ def _reference_keys_for(mk: str) -> list[str]:
     elif mk.startswith("head."):
         out.append("conv_cls." + mk[len("head."):])
     return out
+
+
+@needs_torch
+def test_expected_params_match_real_modules():
+    """With torch present, the static enumerators must equal the real
+    modules' state_dict shapes exactly — closing the loop between the
+    torch-free manifest tests and the actual nn.Modules."""
+    for build, expected in (
+        (torch_craft.build_model, torch_craft.expected_params()),
+        (torch_crnn.build_model, torch_crnn.expected_params()),
+    ):
+        got = {k: tuple(v.shape) for k, v in build().state_dict().items()}
+        assert got == expected
 
 
 @needs_torch
