@@ -75,6 +75,25 @@ def resolve_backend(requested: str | None = None) -> str:
     return "standin"
 
 
+def maybe_quantize(model, quantize: bool):
+    """Dynamic int8 quantization on CPU, mirroring the reference's
+    default-on behavior (easyocr/detection.py:74-83,
+    easyocr/recognition.py:168-179: quantize_dynamic, qint8, inplace,
+    errors swallowed). NUMERICS-AFFECTING: quantized Linear/LSTM
+    weights shift probabilities, so oracle-vs-backend comparisons must
+    pin quantize on both sides (SURVEY O1). Off by default here —
+    enable for reference-default CPU parity or memory-bound executors."""
+    if not quantize:
+        return model
+    import torch
+
+    try:
+        torch.quantization.quantize_dynamic(model, dtype=torch.qint8, inplace=True)
+    except Exception:
+        pass
+    return model
+
+
 def make_torch_reader(**kwargs):
     """Construct the torch-backed Reader (raises ImportError without
     torch — call resolve_backend first)."""

@@ -117,3 +117,48 @@ def english_g2_checkpoint_manifest() -> dict[str, Shape]:
     m["Prediction.weight"] = (97, 256)
     m["Prediction.bias"] = (97,)
     return {f"module.{k}": v for k, v in m.items()}
+
+
+def gen1_checkpoint_manifest(num_class: int) -> dict[str, Shape]:
+    """Key -> shape for the gen1 ResNet checkpoints (thai.pth,
+    arabic.pth, ... — reference easyocr/config.py:55-143; architecture
+    easyocr/model/model.py:4-35 + model/modules.py:126-264). All gen1
+    models share one graph (input_channel 1, output_channel 512,
+    hidden_size 512, BasicBlock counts [1, 2, 5, 3]) and differ only in
+    the head's num_class. ResNet convs are all bias-free; a BasicBlock
+    carries a 1x1 downsample projection only where its input channel
+    count changes (the first block of layers 1-3; layer4 is 512->512)."""
+    m: dict[str, Shape] = {}
+    fe = "FeatureExtraction.ConvNet"
+    m.update(_conv(f"{fe}.conv0_1", 32, 1, 3, bias=False))
+    m.update(_bn(f"{fe}.bn0_1", 32))
+    m.update(_conv(f"{fe}.conv0_2", 64, 32, 3, bias=False))
+    m.update(_bn(f"{fe}.bn0_2", 64))
+    stages = [  # (layer, blocks, c_in, c_out)
+        (1, 1, 64, 128), (2, 2, 128, 256), (3, 5, 256, 512), (4, 3, 512, 512),
+    ]
+    for layer, blocks, c_in, c_out in stages:
+        for b in range(blocks):
+            ci = c_in if b == 0 else c_out
+            pre = f"{fe}.layer{layer}.{b}"
+            m.update(_conv(f"{pre}.conv1", c_out, ci, 3, bias=False))
+            m.update(_bn(f"{pre}.bn1", c_out))
+            m.update(_conv(f"{pre}.conv2", c_out, c_out, 3, bias=False))
+            m.update(_bn(f"{pre}.bn2", c_out))
+            if ci != c_out:
+                m.update(_conv(f"{pre}.downsample.0", c_out, ci, 1, bias=False))
+                m.update(_bn(f"{pre}.downsample.1", c_out))
+        if layer <= 3:
+            m.update(_conv(f"{fe}.conv{layer}", c_out, c_out, 3, bias=False))
+            m.update(_bn(f"{fe}.bn{layer}", c_out))
+    m.update(_conv(f"{fe}.conv4_1", 512, 512, 2, bias=False))
+    m.update(_bn(f"{fe}.bn4_1", 512))
+    m.update(_conv(f"{fe}.conv4_2", 512, 512, 2, bias=False))
+    m.update(_bn(f"{fe}.bn4_2", 512))
+    for i in range(2):
+        m.update(_lstm(f"SequenceModeling.{i}.rnn", 512, 512))
+        m[f"SequenceModeling.{i}.linear.weight"] = (512, 1024)
+        m[f"SequenceModeling.{i}.linear.bias"] = (512,)
+    m["Prediction.weight"] = (num_class, 512)
+    m["Prediction.bias"] = (num_class,)
+    return {f"module.{k}": v for k, v in m.items()}

@@ -217,8 +217,10 @@ def remap_key(ckpt_key: str) -> str | None:
     return None
 
 
-def load_weights(model, path: str):
+def load_weights(model, path: str, quantize: bool = False):
     import torch
+
+    from . import maybe_quantize
 
     ckpt = torch.load(path, map_location="cpu")
     state = {}
@@ -228,6 +230,7 @@ def load_weights(model, path: str):
             raise KeyError(f"unexpected checkpoint key: {ck}")
         state[mk] = v
     model.load_state_dict(state, strict=True)
+    maybe_quantize(model, quantize)
     model.eval()
     return model
 
@@ -245,11 +248,11 @@ class TorchCraftDetector:
     and grouping are backend-agnostic."""
 
     def __init__(self, weights_path: str | None = None, canvas_size: int = 2560,
-                 mag_ratio: float = 1.0):
+                 mag_ratio: float = 1.0, quantize: bool = False):
         from . import weights_dir
 
         path = weights_path or os.path.join(weights_dir(), "craft_mlt_25k.pth")
-        self.model = load_weights(build_model(), path)
+        self.model = load_weights(build_model(), path, quantize=quantize)
         self.canvas_size = canvas_size
         self.mag_ratio = mag_ratio
 

@@ -135,8 +135,10 @@ def remap_key(ckpt_key: str) -> str | None:
     return None
 
 
-def load_weights(model, path: str):
+def load_weights(model, path: str, quantize: bool = False):
     import torch
+
+    from . import maybe_quantize
 
     ckpt = torch.load(path, map_location="cpu")
     state = {}
@@ -146,6 +148,7 @@ def load_weights(model, path: str):
             raise KeyError(f"unexpected checkpoint key: {ck}")
         state[mk] = v
     model.load_state_dict(state, strict=True)
+    maybe_quantize(model, quantize)
     model.eval()
     return model
 
@@ -172,11 +175,11 @@ class TorchCrnnRecognizer:
     index 0 — the same contract the stand-in's _frames_for_chunk
     produces, so ocr/ctc.py decoders apply unchanged."""
 
-    def __init__(self, weights_path: str | None = None):
+    def __init__(self, weights_path: str | None = None, quantize: bool = False):
         from . import weights_dir
 
         path = weights_path or os.path.join(weights_dir(), "english_g2.pth")
-        self.model = load_weights(build_model(), path)
+        self.model = load_weights(build_model(), path, quantize=quantize)
         self.charset = EN_G2_CHARSET
 
     def recognize_probs(self, crop: np.ndarray) -> np.ndarray:

@@ -34,12 +34,35 @@ class TorchReader:
         blocklist: str | None = None,
         craft_weights: str | None = None,
         crnn_weights: str | None = None,
+        quantize: bool = False,
     ):
+        # quantize mirrors the reference's CPU default-on dynamic int8
+        # (easyocr/detection.py:74-83, recognition.py:168-179) — OFF by
+        # default here because it shifts numerics; see
+        # backends.maybe_quantize for the parity-pinning note
         self.lang_list = lang_list or ["en"]
         self.decoder = decoder
-        self.detector = TorchCraftDetector(craft_weights)
-        self.recognizer = TorchCrnnRecognizer(crnn_weights)
-        # allow/blocklist -> ignore mask over the g2 charset (same
+        self.detector = TorchCraftDetector(craft_weights, quantize=quantize)
+        # per-script model routing, mirroring the reference's
+        # gen2-vs-gen1 choice (easyocr/easyocr.py:95-135): thai/arabic
+        # route to the gen1 ResNet family, latin to the gen2 VGG
+        gen1_lang = next(
+            (
+                lang
+                for code, lang in (("th", "thai"), ("ar", "arabic"))
+                if code in self.lang_list
+            ),
+            None,
+        )
+        if gen1_lang is not None:
+            from .torch_resnet import TorchGen1Recognizer
+
+            self.recognizer = TorchGen1Recognizer(
+                gen1_lang, crnn_weights, quantize=quantize
+            )
+        else:
+            self.recognizer = TorchCrnnRecognizer(crnn_weights, quantize=quantize)
+        # allow/blocklist -> ignore mask over the model charset (same
         # semantics as recognition.build_ignore_mask, different charset)
         cs = self.recognizer.charset
         self.ignore = None

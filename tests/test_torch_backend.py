@@ -107,6 +107,23 @@ def test_crnn_manifest_remaps_onto_module_params():
     assert torch_crnn.expected_params()["head.weight"] == (97, 256)
 
 
+def test_gen1_manifest_remaps_onto_module_params():
+    """Same torch-free proof for the gen1 ResNet family: thai and
+    arabic share the graph and differ only in head num_class."""
+    from easyocr_spark.ocr.backends import manifests, torch_resnet
+
+    for charset in (torch_resnet.THAI_G1_CHARSET, torch_resnet.ARABIC_G1_CHARSET):
+        n = len(charset) + 1
+        _assert_remap_bijection(
+            manifests.gen1_checkpoint_manifest(n),
+            torch_resnet.remap_key,
+            torch_resnet.expected_params(n),
+        )
+    # charset lengths pinned to reference easyocr/config.py gen1 entries
+    assert len(torch_resnet.THAI_G1_CHARSET) == 176
+    assert len(torch_resnet.ARABIC_G1_CHARSET) == 184
+
+
 def test_normalize_pad_shape_and_range():
     crop = np.full((32, 100), 255, dtype=np.uint8)
     crop[10:20, 10:90] = 0
@@ -177,9 +194,13 @@ def test_expected_params_match_real_modules():
     """With torch present, the static enumerators must equal the real
     modules' state_dict shapes exactly — closing the loop between the
     torch-free manifest tests and the actual nn.Modules."""
+    from easyocr_spark.ocr.backends import torch_resnet
+
+    n1 = len(torch_resnet.THAI_G1_CHARSET) + 1
     for build, expected in (
         (torch_craft.build_model, torch_craft.expected_params()),
         (torch_crnn.build_model, torch_crnn.expected_params()),
+        (lambda: torch_resnet.build_model(n1), torch_resnet.expected_params(n1)),
     ):
         got = {k: tuple(v.shape) for k, v in build().state_dict().items()}
         assert got == expected
@@ -193,6 +214,30 @@ def test_crnn_forward_contract():
     assert y.shape[0] == 1
     assert y.shape[2] == len(torch_crnn.EN_G2_CHARSET) + 1
     assert y.shape[1] > 1  # a real time axis
+
+
+@needs_torch
+def test_gen1_forward_contract():
+    from easyocr_spark.ocr.backends import torch_resnet
+
+    n = len(torch_resnet.THAI_G1_CHARSET) + 1
+    model = torch_resnet.build_model(n)
+    x = torch.zeros(1, 1, torch_resnet.IMG_H, 128)
+    y = model(x)
+    assert y.shape[0] == 1
+    assert y.shape[2] == n
+    assert y.shape[1] > 1  # a real time axis
+
+
+@needs_torch
+def test_quantize_hook_runs():
+    """quantize=True must leave a usable module (reference default-on
+    CPU path, easyocr/recognition.py:175-179)."""
+    from easyocr_spark.ocr import backends
+
+    model = backends.maybe_quantize(torch_crnn.build_model(), True)
+    x = torch.zeros(1, 1, torch_crnn.IMG_H, 128)
+    assert model(x).shape[0] == 1
 
 
 @needs_torch
