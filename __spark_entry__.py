@@ -267,6 +267,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_mutated(spark, sf_dir))
 
 
+def q_dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash128_pairs(_mutated(spark, sf_dir))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: iterative connected components over the
     verified pair graph (min-label propagation); oracle = a recursive
@@ -420,6 +424,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash128": q_dedup_simhash128,
         "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -520,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": dedup.duckdb_jaccard_sql(mutants),
         "dedup_minhash_lsh": dedup.duckdb_jaccard_sql(mutants),
         "dedup_simhash": dedup.duckdb_simhash_pairs_sql(mutants),
+        "dedup_simhash128": dedup.duckdb_simhash128_pairs_sql(mutants),
         "dedup_components": dedup.duckdb_components_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),

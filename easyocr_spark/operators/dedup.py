@@ -50,6 +50,9 @@ HAM_MAX = 8
 HASH_MOD = 2147483647  # 2^31-1
 HASH_BASE_1 = 131
 HASH_BASE_2 = 137
+HASH_BASE_3 = 139
+HASH_BASE_4 = 149
+SIMHASH128_BASES = [HASH_BASE_1, HASH_BASE_2, HASH_BASE_3, HASH_BASE_4]
 
 
 def with_mutants(docs: DataFrame) -> DataFrame:
@@ -382,13 +385,14 @@ def _poly_hash(chars_col, base: int):
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sim1, sim2): two 31-bit halves of a 62-bit SimHash over
-    frequency-weighted whitespace tokens, with an engine-portable token
-    hash — the DuckDB oracle reproduces signatures bit-for-bit.
+def _simhash_signatures_n(docs: DataFrame, bases: list[int]) -> DataFrame:
+    """(doc_id, sim1..simK): K 31-bit halves of a 31*K-bit SimHash over
+    frequency-weighted whitespace tokens, with an engine-portable
+    polynomial token hash per base — a DuckDB oracle reproduces the
+    signatures bit-for-bit.
 
     The char-code array is MATERIALIZED in its own projection before
-    the two polynomial folds: substring-per-char extraction is the
+    the polynomial folds: substring-per-char extraction is the
     expensive part and an inlined HOF expression would re-run it once
     per hash base (the lambda-CSE trap from the shingle path)."""
     toks = docs.select(
@@ -403,34 +407,36 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
     hashed = with_chars.select(
         "doc_id",
-        _poly_hash(F.col("cs"), HASH_BASE_1).alias("t1"),
-        _poly_hash(F.col("cs"), HASH_BASE_2).alias("t2"),
+        *[
+            _poly_hash(F.col("cs"), base).alias(f"t{h}")
+            for h, base in enumerate(bases, start=1)
+        ],
     )
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.floor(F.col("t1") / F.lit(2 ** j)) % 2) * 2 - 1
-            ).alias(f"b1_{j}")
+                (F.floor(F.col(f"t{h}") / F.lit(2 ** j)) % 2) * 2 - 1
+            ).alias(f"b{h}_{j}")
+            for h in range(1, len(bases) + 1)
             for j in range(31)
-        ],
-        *[
-            F.sum(
-                (F.floor(F.col("t2") / F.lit(2 ** j)) % 2) * 2 - 1
-            ).alias(f"b2_{j}")
-            for j in range(31)
-        ],
+        ]
     )
-    sim1 = sum(
-        [F.when(F.col(f"b1_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(31)],
-        F.lit(0),
-    )
-    sim2 = sum(
-        [F.when(F.col(f"b2_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(31)],
-        F.lit(0),
-    )
-    return bit_sums.select(
-        "doc_id", sim1.cast("long").alias("sim1"), sim2.cast("long").alias("sim2")
-    )
+    sims = [
+        sum(
+            [
+                F.when(F.col(f"b{h}_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+                for j in range(31)
+            ],
+            F.lit(0),
+        ).cast("long").alias(f"sim{h}")
+        for h in range(1, len(bases) + 1)
+    ]
+    return bit_sums.select("doc_id", *sims)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """The 62-bit (two-half) signature — the oracle-pinned variant."""
+    return _simhash_signatures_n(docs, [HASH_BASE_1, HASH_BASE_2])
 
 
 # chunk boundaries over the concatenated 62-bit signature (bits 0-30 =
@@ -439,86 +445,80 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 # one of the 9 chunks is bit-identical — banding on chunk value has
 # RECALL 1.0 and the banded output equals the exhaustive scan exactly.
 SIMHASH_CHUNK_BOUNDS = [0, 7, 14, 21, 28, 35, 42, 49, 56, 62]
+# the 124-bit (four-half) production fingerprint keeps the same 9-chunk
+# pigeonhole at HAM_MAX=8 but with ~14-bit chunks: 7x14 + 2x13 = 124
+SIMHASH128_CHUNK_BOUNDS = [0, 14, 28, 42, 56, 70, 84, 98, 111, 124]
 
 
-def _sig_chunk(lo: int, width: int):
-    """Bits [lo, lo+width) of the concatenated 62-bit signature as a
-    long. A chunk that straddles the sim1/sim2 boundary combines pieces
-    of both halves."""
+def _sig_chunk(n_halves: int, lo: int, width: int):
+    """Bits [lo, lo+width) of the signature concatenated from
+    ``n_halves`` 31-bit half columns sim1..simN, as a long. A chunk
+    that straddles a half boundary combines pieces of both halves."""
     pieces = []
-    if lo < 31:
-        w1 = min(width, 31 - lo)
-        pieces.append(
-            F.shiftright(F.col("sim1"), lo).bitwiseAND(F.lit((1 << w1) - 1))
+    out_shift = 0
+    for h in range(n_halves):
+        base = 31 * h
+        a = max(lo, base)
+        b = min(lo + width, base + 31)
+        if a >= b:
+            continue
+        piece = F.shiftright(F.col(f"sim{h + 1}"), a - base).bitwiseAND(
+            F.lit((1 << (b - a)) - 1)
         )
-        out_shift = w1
-    else:
-        out_shift = 0
-    if lo + width > 31:
-        l2 = max(lo, 31) - 31
-        w2 = lo + width - max(lo, 31)
-        piece2 = F.shiftright(F.col("sim2"), l2).bitwiseAND(F.lit((1 << w2) - 1))
-        pieces.append(piece2 * F.lit(1 << out_shift))
+        pieces.append(piece * F.lit(1 << out_shift))
+        out_shift += b - a
     expr = pieces[0]
     for p in pieces[1:]:
         expr = expr + p
     return expr.cast("long")
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = HAM_MAX) -> DataFrame:
-    """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
-
-    Scale shape: band the signature into 9 chunks, bucket-join on
-    (chunk_id, chunk_value), verify exact hamming on candidates — the
-    same linear banding pattern as MinHash LSH, replacing the former
-    all-pairs crossJoin. Output contract unchanged (recall 1.0 by
-    pigeonhole, exact verification on candidates), so the exhaustive
-    DuckDB oracle still applies.
-
-    Honest 100-TB caveat: 62 bits / 9 chunks caps chunk width at ~7
-    bits (~128 bucket values), so random collisions make the candidate
-    set ~n^2/128 — two orders of magnitude better than all-pairs but
-    not linear. The production knob is a wider fingerprint (128-bit ->
-    16-bit chunks, Manku et al., WWW'07); kept at 62 bits here because
-    the DuckDB oracle reproduces these signatures bit-for-bit."""
+def _banded_sig_pairs(
+    sig: DataFrame, n_halves: int, chunk_bounds: list[int], max_hamming: int
+) -> DataFrame:
+    """Band a (doc_id, sim1..simN) signature table into chunks,
+    bucket-join on (chunk_id, chunk_value) and exact-verify hamming —
+    the shared linear-banding shape of both SimHash widths."""
     from pyspark import StorageLevel
 
-    # the signature build (token-hash HOF + 62-way bit agg) is the
+    # the signature build (token-hash HOF + per-bit agg) is the
     # expensive stage and feeds BOTH sides of the band join; persist it
-    # (3 longs per doc — trivially cacheable at any scale) so it runs
-    # once, and release it after the verified pairs materialize.
-    sig = simhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    n_chunks = len(SIMHASH_CHUNK_BOUNDS) - 1
+    # (a few longs per doc — trivially cacheable at any scale) so it
+    # runs once, and release it after the verified pairs materialize.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sim_cols = [f"sim{h}" for h in range(1, n_halves + 1)]
     chunk_vals = F.array(
         *[
             _sig_chunk(
-                SIMHASH_CHUNK_BOUNDS[i],
-                SIMHASH_CHUNK_BOUNDS[i + 1] - SIMHASH_CHUNK_BOUNDS[i],
+                n_halves,
+                chunk_bounds[i],
+                chunk_bounds[i + 1] - chunk_bounds[i],
             )
-            for i in range(n_chunks)
+            for i in range(len(chunk_bounds) - 1)
         ]
     )
     banded = sig.select(
-        "doc_id", "sim1", "sim2",
-        F.posexplode(chunk_vals).alias("chunk_id", "chunk_val"),
+        "doc_id", *sim_cols, F.posexplode(chunk_vals).alias("chunk_id", "chunk_val")
     )
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("sim1").alias("s1a"),
-        F.col("sim2").alias("s2a"),
+        *[F.col(c).alias(f"{c}a") for c in sim_cols],
         "chunk_id",
         "chunk_val",
     )
     b = banded.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("sim1").alias("s1b"),
-        F.col("sim2").alias("s2b"),
+        *[F.col(c).alias(f"{c}b") for c in sim_cols],
         "chunk_id",
         "chunk_val",
     )
-    ham = F.bit_count(
-        F.col("s1a").bitwiseXOR(F.col("s1b"))
-    ) + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b")))
+    ham = sum(
+        [
+            F.bit_count(F.col(f"{c}a").bitwiseXOR(F.col(f"{c}b")))
+            for c in sim_cols[1:]
+        ],
+        F.bit_count(F.col(f"{sim_cols[0]}a").bitwiseXOR(F.col(f"{sim_cols[0]}b"))),
+    )
     pairs = (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -533,15 +533,72 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAM_MAX) -> DataFrame:
     return pairs
 
 
-def duckdb_simhash_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:
-    b1 = ", ".join(
-        f"sum(((t1 // {2 ** j}) % 2) * 2 - 1) AS b1_{j}" for j in range(31)
+def simhash_pairs(docs: DataFrame, max_hamming: int = HAM_MAX) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within max_hamming bits of the
+    62-bit signature.
+
+    Scale shape: band the signature into 9 chunks, bucket-join on
+    (chunk_id, chunk_value), verify exact hamming on candidates — the
+    same linear banding pattern as MinHash LSH, replacing the former
+    all-pairs crossJoin. Recall 1.0 by pigeonhole and exact
+    verification on candidates, so the exhaustive DuckDB oracle
+    applies unchanged.
+
+    62 bits / 9 chunks caps chunk width at ~7 bits (~128 bucket
+    values), so random collisions make the candidate set ~n^2/128 —
+    this width is the ORACLE variant (DuckDB reproduces its signatures
+    bit-for-bit in 62-bit integer arithmetic); the scale path is
+    simhash128_pairs below (14-bit chunks per Manku et al., WWW'07)."""
+    return _banded_sig_pairs(
+        simhash_signatures(docs), 2, SIMHASH_CHUNK_BOUNDS, max_hamming
     )
-    b2 = ", ".join(
-        f"sum(((t2 // {2 ** j}) % 2) * 2 - 1) AS b2_{j}" for j in range(31)
+
+
+def simhash128_pairs(docs: DataFrame, max_hamming: int = HAM_MAX) -> DataFrame:
+    """The production-width SimHash: four 31-bit halves -> a 124-bit
+    fingerprint, banded into 9 chunks of ~14 bits (Manku et al.,
+    WWW'07). Same pigeonhole recall 1.0 at max_hamming=8, but chunk
+    values now span ~2^14 buckets, so the random-collision candidate
+    mass drops by ~2^7 vs the 62-bit oracle variant — this is the
+    width to run at 100 TB. Output contract: pairs within max_hamming
+    over the 124-bit fingerprint (a DIFFERENT, stricter pair set than
+    the 62-bit operator: random 62-bit near-collisions disappear while
+    true near-dups keep hamming low across widths)."""
+    return _banded_sig_pairs(
+        _simhash_signatures_n(docs, SIMHASH128_BASES),
+        len(SIMHASH128_BASES),
+        SIMHASH128_CHUNK_BOUNDS,
+        max_hamming,
     )
-    s1 = " + ".join(f"(CASE WHEN b1_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(31))
-    s2 = " + ".join(f"(CASE WHEN b2_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(31))
+
+
+def _duckdb_simhash_sql(table_sql: str, bases: list[int], max_hamming: int) -> str:
+    """Exhaustive-scan oracle over the 31*K-bit signature: reproduces
+    the Spark signatures bit-for-bit (same polynomial folds, same
+    per-bit majority), then checks every pair — the banded Spark
+    operator must equal it exactly (pigeonhole recall 1.0)."""
+    hs = range(1, len(bases) + 1)
+    ts = ",\n        ".join(
+        f"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(token)+1),
+            i -> ascii(substring(token, CAST(i AS INT), 1))::BIGINT)),
+          (acc, c) -> (acc * {base} + c) % {HASH_MOD}) AS t{h}"""
+        for h, base in zip(hs, bases)
+    )
+    bit_cols = ", ".join(
+        f"sum(((t{h} // {2 ** j}) % 2) * 2 - 1) AS b{h}_{j}"
+        for h in hs
+        for j in range(31)
+    )
+    sims = ",\n            ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{h}_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(31)
+        )
+        + f" AS BIGINT) AS sim{h}"
+        for h in hs
+    )
+    ham = " + ".join(f"bit_count(xor(a.sim{h}, b.sim{h}))" for h in hs)
     return f"""
     WITH toks AS (
       SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS token
@@ -549,23 +606,22 @@ def duckdb_simhash_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:
     ),
     hashed AS (
       SELECT doc_id,
-        list_reduce(list_prepend(0::BIGINT,
-          list_transform(range(1, length(token)+1),
-            i -> ascii(substring(token, CAST(i AS INT), 1))::BIGINT)),
-          (acc, c) -> (acc * {HASH_BASE_1} + c) % {HASH_MOD}) AS t1,
-        list_reduce(list_prepend(0::BIGINT,
-          list_transform(range(1, length(token)+1),
-            i -> ascii(substring(token, CAST(i AS INT), 1))::BIGINT)),
-          (acc, c) -> (acc * {HASH_BASE_2} + c) % {HASH_MOD}) AS t2
+        {ts}
       FROM toks
     ),
-    bits AS (SELECT doc_id, {b1}, {b2} FROM hashed GROUP BY doc_id),
-    sig AS (SELECT doc_id, CAST({s1} AS BIGINT) AS sim1, CAST({s2} AS BIGINT) AS sim2
+    bits AS (SELECT doc_id, {bit_cols} FROM hashed GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sims}
             FROM bits)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) AS INT)
-             AS hamming
+           CAST({ham} AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2))
-          <= {max_hamming}
+    WHERE {ham} <= {max_hamming}
     """
+
+
+def duckdb_simhash_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:
+    return _duckdb_simhash_sql(table_sql, [HASH_BASE_1, HASH_BASE_2], max_hamming)
+
+
+def duckdb_simhash128_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:
+    return _duckdb_simhash_sql(table_sql, SIMHASH128_BASES, max_hamming)

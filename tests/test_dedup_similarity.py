@@ -66,6 +66,27 @@ def test_simhash_signature_portability(spark, docs):
     assert len(z) == 1 and z.iloc[0]["hamming"] == 0
 
 
+def test_simhash128_identical_docs_and_oracle_parity(spark, docs):
+    """The 124-bit production variant: identical docs at hamming 0,
+    near-dups within budget, and the banded operator equals the
+    exhaustive DuckDB oracle exactly (pigeonhole recall 1.0)."""
+    import duckdb
+
+    out = dedup.simhash128_pairs(docs, max_hamming=8).toPandas()
+    pairs = {(a, b): h for a, b, h in out.values.tolist()}
+    assert pairs.get((0, 3)) == 0
+    assert (0, 1) in pairs
+    con = duckdb.connect()
+    con.register("pdocs", docs.toPandas())
+    oracle = con.sql(
+        dedup.duckdb_simhash128_pairs_sql("SELECT * FROM pdocs")
+    ).df()
+    key = ["doc_a", "doc_b", "hamming"]
+    assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+        map(tuple, oracle[key].values.tolist())
+    )
+
+
 def test_with_mutants_plants(docs):
     m = dedup.with_mutants(docs).toPandas()
     assert len(m) == 5 + 1 + 0  # doc 3 -> mutant; no doc_id%25==7 here
