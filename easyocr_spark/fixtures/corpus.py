@@ -43,8 +43,9 @@ from .render import render_text, render_tiny
 # scale factor under /tmp; a stale cache would silently pin old pixels)
 # v2: color media class; v3: mixed-case/punctuated vocab; v4: slanted
 # class; v5: per-script glyph atlases (chinese-tagged media renders with
-# the cjk atlas, so language -> model routing is load-bearing)
-MEDIA_SPEC_VERSION = 5
+# the cjk atlas, so language -> model routing is load-bearing);
+# v6: color class split into rgb/rgba/palette PNG subtypes
+MEDIA_SPEC_VERSION = 6
 
 # staircase slant: glyph g of a slanted word drops g * SLANT_DY base px
 SLANT_DY = 2
@@ -106,10 +107,15 @@ def media_spec(media_ref: str) -> dict:
     return {
         "tiny": tiny,
         "low_contrast": low_contrast,
-        # color class: truecolor PNG with tinted ink (exercises the
-        # reformat_input color branch, reference easyocr/utils.py:732-769);
-        # disjoint from tiny/low-contrast so those classes stay pure gray
+        # color class: tinted-ink PNG (exercises the reformat_input
+        # color branches, reference easyocr/utils.py:732-769); disjoint
+        # from tiny/low-contrast so those classes stay pure gray. The
+        # container rotates through truecolor / truecolor+alpha /
+        # indexed (PLTE) per color_fmt — all three decode to the SAME
+        # gray pixels, so only the decode path (and reported source
+        # channel count) differs between subtypes.
         "color": (not tiny) and (not low_contrast) and (a + b) % 5 == 1,
+        "color_fmt": ["rgb", "rgba", "palette"][(a + 2 * b) % 3],
         "slant_dy": SLANT_DY if slanted else 0,
         "scale": 2 + 2 * ((a + b) % 2),
         "lines": lines,
@@ -153,22 +159,46 @@ def render_media(media_ref: str) -> bytes:
             atlas=MODEL_ATLASES[spec["model"]],
         )
     if spec["color"]:
+        from .png import encode_palette, encode_rgba
+
         a, _ = parse_ref(media_ref)
         ink = np.array(COLOR_INKS[a % 3], dtype=np.uint8)
         rgb = np.repeat(img[:, :, None], 3, axis=2)
         rgb[img == 0] = ink  # non-low-contrast ink is exactly 0
+        fmt = spec["color_fmt"]
+        if fmt == "rgba":
+            # opaque alpha plane; the decoder drops it like the
+            # reference's RGBA branch, so pixels equal the rgb subtype
+            rgba = np.concatenate(
+                [rgb, np.full(img.shape + (1,), 255, dtype=np.uint8)], axis=2
+            )
+            return encode_rgba(rgba)
+        if fmt == "palette":
+            # entry 0 = ink, then one gray entry per distinct paper level
+            levels = np.unique(img[img != 0])
+            palette = np.concatenate(
+                [ink[None, :], np.repeat(levels[:, None], 3, axis=1)]
+            ).astype(np.uint8)
+            indices = np.zeros(img.shape, dtype=np.uint8)
+            for i, g in enumerate(levels, start=1):
+                indices[img == g] = i
+            return encode_palette(indices, palette)
         return encode_rgb(rgb)
     return encode_gray(img)
 
 
 def duckdb_channels_expr(ref_col: str) -> str:
-    """Expected PNG channel count for a media_ref (3 for the color
-    class, 1 otherwise) — the oracle for the decode-branch query."""
+    """Expected SOURCE channel count for a media_ref — the oracle for
+    the decode-branch query: 4 for the color class's RGBA subtype, 3
+    for its truecolor and palette subtypes (palette expands to RGB,
+    cv2.imdecode IMREAD_COLOR behavior), 1 otherwise."""
     a = f"TRY_CAST(split_part({ref_col}, '_', 2) AS BIGINT)"
     b = f"TRY_CAST(split_part({ref_col}, '_', 3) AS BIGINT)"
     return (
         f"CASE WHEN (7*({a}) + ({b})) % 23 <> 0 AND ({a} + {b}) % 7 <> 0 "
-        f"AND ({a} + {b}) % 5 = 1 THEN 3 ELSE 1 END"
+        f"AND ({a} + {b}) % 5 = 1 "
+        f"THEN (CASE WHEN ({a} + 2*({b})) % 3 = 1 THEN 4 ELSE 3 END) "
+        f"ELSE 1 END"
     )
 
 

@@ -90,3 +90,46 @@ def test_color_media_class_ocr_equivalence():
         gray, rtl=corpus.media_spec(ref)["lang"] == "arabic"
     )
     assert got == corpus.ground_truth_text(ref)
+
+
+def test_rgba_decodes_like_rgb():
+    """Opaque RGBA must decode to the same gray as its RGB truecolor
+    twin (alpha dropped, reference easyocr/utils.py:758-762), and
+    report 4 source channels."""
+    from easyocr_spark.fixtures.png import decode_image, encode_rgb, encode_rgba
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    rgba = np.concatenate(
+        [rgb, np.full((11, 17, 1), 255, dtype=np.uint8)], axis=2
+    )
+    g_rgb, ch_rgb = decode_image(encode_rgb(rgb))
+    g_rgba, ch_rgba = decode_image(encode_rgba(rgba))
+    assert (ch_rgb, ch_rgba) == (3, 4)
+    assert np.array_equal(g_rgb, g_rgba)
+
+
+def test_palette_decodes_like_rgb():
+    """Indexed color must expand PLTE to the same gray as the expanded
+    truecolor image and report 3 source channels (IMREAD_COLOR role)."""
+    from easyocr_spark.fixtures.png import decode_image, encode_palette, encode_rgb
+
+    palette = np.array(
+        [[112, 16, 16], [255, 255, 255], [40, 200, 90]], dtype=np.uint8
+    )
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 3, size=(9, 13)).astype(np.uint8)
+    g_pal, ch_pal = decode_image(encode_palette(idx, palette))
+    g_rgb, _ = decode_image(encode_rgb(palette[idx]))
+    assert ch_pal == 3
+    assert np.array_equal(g_pal, g_rgb)
+
+
+def test_palette_rejects_out_of_range_index():
+    from easyocr_spark.fixtures.png import encode_palette
+
+    with pytest.raises(ValueError):
+        encode_palette(
+            np.full((2, 2), 7, dtype=np.uint8),
+            np.zeros((2, 3), dtype=np.uint8),
+        )
