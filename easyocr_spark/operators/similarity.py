@@ -365,7 +365,12 @@ def neardup_pairs(embeddings: DataFrame, micro: int = NEARDUP_MICRO) -> DataFram
     duplicates; for merely-close pairs this is the standard
     approximate-recall LSH trade (more probes / more tables = more
     recall), verified exact on every candidate. Cost: 17n exploded rows
-    + bucket-local joins — linear-ish, vs n^2 for the cross join."""
+    + bucket-local joins — linear-ish, vs n^2 for the cross join.
+
+    CONTRACT (and what duckdb_neardup_sql encodes): pairs with cosine
+    >= micro/1e6 AND bucket-signature hamming <= 1 over the 16
+    deterministic hyperplanes. Above-threshold pairs whose signatures
+    differ in >= 2 planes are outside the contract by design."""
     with_bucket = embeddings.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
@@ -470,10 +475,24 @@ def duckdb_lsh_topk_sql(k: int = K) -> str:
 
 
 def duckdb_neardup_sql(micro: int = NEARDUP_MICRO) -> str:
+    """Oracle that states the REAL operator contract: candidate pairs
+    are those whose hyperplane bucket signatures differ in <= 1 plane
+    (the radius-1 multi-probe candidate set, reproduced here from the
+    same deterministic planes), then exact-cosine verified. A pair
+    above the threshold whose signatures differ in >= 2 planes is
+    OUTSIDE the contract (standard LSH recall trade) — encoding the
+    probe in the oracle makes that explicit instead of relying on the
+    planted corpus never producing such a pair."""
+    bucket = " + ".join(
+        f"(CASE WHEN ({duck_plane_dot('embedding', j)}) >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
     return f"""
-    WITH p AS ({DUCK_PLANTED})
+    WITH p AS ({DUCK_PLANTED}),
+    wb AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM p)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {duck_cos_micro('a.embedding', 'b.embedding')} AS cos_micro
-    FROM p a JOIN p b ON a.vec_id < b.vec_id
-    WHERE {duck_cos_micro('a.embedding', 'b.embedding')} >= {micro}
+    FROM wb a JOIN wb b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
+      AND {duck_cos_micro('a.embedding', 'b.embedding')} >= {micro}
     """
