@@ -11,9 +11,10 @@ API mirror of the reference's Reader (reference easyocr/easyocr.py):
 - ``readtext_text`` — the projection our span pipeline uses: non-empty
   texts joined by single spaces in reading order.
 
-The detect stage is pluggable ('craft' score-map strategy or
-'projection' profile strategy — the reference's CRAFT/DBNet switch,
-easyocr/easyocr.py:235-268). Rotation TTA mirrors
+The detect stage is pluggable ('craft' score-map strategy,
+'dbnet' — the real DBNet post-process over shrunken-kernel maps,
+ocr/detection_db.py — or the 'projection' profile strategy; the
+reference's CRAFT/DBNet switch, easyocr/easyocr.py:235-268). Rotation TTA mirrors
 make_rotated_img_list + set_result_with_confidence
 (easyocr/utils.py:802-835): each crop is additionally decoded at the
 listed rotations and the highest-confidence variant wins.
@@ -186,6 +187,10 @@ class StandInReader:
     ) -> tuple[list[list[int]], list[list[list[float]]]]:
         if self.detect_network == "projection":
             boxes = detection_projection.detect(gray)
+        elif self.detect_network == "dbnet":
+            from . import detection_db
+
+            boxes = detection_db.detect(gray)
         else:
             boxes = detection.detect(gray, optimal_num_chars=optimal_num_chars)
         # with a char-count target the detector's priority order is the
