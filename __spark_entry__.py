@@ -130,6 +130,21 @@ def q_detect_slanted_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detect_curved_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curved-text detection: variable-slope staircase words (the
+    getPoly_core territory beyond constant slant) must come out as
+    vertical-edged free quads spanning first-to-last cell tops, margins
+    included, matching the renderer-geometry oracle in deci-pixels."""
+    a = "CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    refs = _distinct_media(spark, sf_dir).filter(
+        F.expr(corpus.duckdb_curve_pred(a, b))
+    )
+    return refs.mapInPandas(
+        udfs.detect_free_batches, schema=udfs.DETECT_FREE_SCHEMA
+    )
+
+
 def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """poly=True detection (the getPoly_core analogue): slanted words
     come out as 4L-point staircase outlines tracing each glyph cell's
@@ -139,6 +154,21 @@ def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = "CAST(split_part(media_ref, '_', 3) AS BIGINT)"
     refs = _distinct_media(spark, sf_dir).filter(
         F.expr(corpus.duckdb_slant_pred(a, b))
+    )
+    return refs.mapInPandas(
+        udfs.detect_poly_batches, schema=udfs.DETECT_POLY_SCHEMA
+    )
+
+
+def q_detect_polygons_curved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """poly=True over the curved class: the 4L-point outline must trace
+    each glyph cell's own curve_off drop — the per-cell refinement that
+    a single quad cannot express (the getPoly_core role on non-linear
+    text)."""
+    a = "CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    refs = _distinct_media(spark, sf_dir).filter(
+        F.expr(corpus.duckdb_curve_pred(a, b))
     )
     return refs.mapInPandas(
         udfs.detect_poly_batches, schema=udfs.DETECT_POLY_SCHEMA
@@ -409,7 +439,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "detect_boxes": q_detect_boxes,
         "detect_box_geometry": q_detect_box_geometry,
         "detect_slanted_geometry": q_detect_slanted_geometry,
+        "detect_curved_geometry": q_detect_curved_geometry,
         "detect_polygons": q_detect_polygons,
+        "detect_polygons_curved": q_detect_polygons_curved,
         "ocr_results": q_ocr_results,
         "ocr_results_beamsearch": q_ocr_results_beamsearch,
         "ocr_results_wordbeam": q_ocr_results_wordbeam,
@@ -479,7 +511,13 @@ def oracle_sql() -> dict[str, str]:
         "detect_slanted_geometry": corpus.duckdb_slanted_geometry_sql(
             DUCK_DISTINCT_REFS
         ),
+        "detect_curved_geometry": corpus.duckdb_curved_geometry_sql(
+            DUCK_DISTINCT_REFS
+        ),
         "detect_polygons": corpus.duckdb_poly_geometry_sql(DUCK_DISTINCT_REFS),
+        "detect_polygons_curved": corpus.duckdb_curved_poly_sql(
+            DUCK_DISTINCT_REFS
+        ),
         "ocr_results": f"""
             SELECT media_ref, {gt} AS text FROM ({DUCK_DISTINCT_REFS})
         """,

@@ -44,8 +44,9 @@ from .render import render_text, render_tiny
 # v2: color media class; v3: mixed-case/punctuated vocab; v4: slanted
 # class; v5: per-script glyph atlases (chinese-tagged media renders with
 # the cjk atlas, so language -> model routing is load-bearing);
-# v6: color class split into rgb/rgba/palette PNG subtypes
-MEDIA_SPEC_VERSION = 6
+# v6: color class split into rgb/rgba/palette PNG subtypes;
+# v7: curved (variable-slope staircase) class
+MEDIA_SPEC_VERSION = 7
 
 # staircase slant: glyph g of a slanted word drops g * SLANT_DY base px
 SLANT_DY = 2
@@ -104,6 +105,19 @@ def media_spec(media_ref: str) -> dict:
         and n_lines == 1
         and (a + 5 * b) % 6 == 3
     )
+    # curved class (disjoint from slanted by the % 6 residue): the
+    # staircase drop follows render.curve_off (slopes alternate 2 and
+    # 1 px/glyph) — a NON-LINEAR text line, the getPoly_core territory
+    # beyond constant slant. Detection still emits a vertical-edged
+    # quad (first-vs-last cell tops) and the poly path traces the true
+    # per-cell curve; deshear_crop realigns on actual ink tops, so
+    # recognition is pixel-exact here too.
+    curved = (
+        (not tiny)
+        and (not low_contrast)
+        and n_lines == 1
+        and (a + 5 * b) % 6 == 4
+    )
     return {
         "tiny": tiny,
         "low_contrast": low_contrast,
@@ -117,6 +131,7 @@ def media_spec(media_ref: str) -> dict:
         "color": (not tiny) and (not low_contrast) and (a + b) % 5 == 1,
         "color_fmt": ["rgb", "rgba", "palette"][(a + 2 * b) % 3],
         "slant_dy": SLANT_DY if slanted else 0,
+        "curve": curved,
         "scale": 2 + 2 * ((a + b) % 2),
         "lines": lines,
         "lang": LANGS[a % 3],
@@ -156,6 +171,7 @@ def render_media(media_ref: str) -> bytes:
             spec["scale"],
             spec["low_contrast"],
             slant_dy=spec["slant_dy"],
+            curve=spec["curve"],
             atlas=MODEL_ATLASES[spec["model"]],
         )
     if spec["color"]:
@@ -346,23 +362,34 @@ def duckdb_slant_pred(a: str, b: str) -> str:
     )
 
 
-def duckdb_slanted_geometry_sql(refs_sql: str) -> str:
-    """Expected FREE-quad corners per slanted media_ref in reading
-    order, in deci-pixels (x10, rounded): (media_ref, box_idx,
-    x0d..y3d). Mirrors the full slanted chain: staircase layout ->
-    half-res cell-top quantization (exact: all boundaries even-aligned)
-    -> x2 rescale -> group_text_box's free-path margin expansion
-    (q = p + sign(p - ctr) * 0.1*h, reference easyocr/utils.py:463-481)
-    with its float arithmetic reproduced verbatim (0.1*h is the same
-    IEEE double in both engines; outputs are rounded deci-pixels so the
-    comparison is integer-exact)."""
+def duckdb_curve_pred(a: str, b: str) -> str:
+    """SQL predicate for the curved class — same gate as slanted but
+    residue (a + 5b) % 6 == 4 (disjoint by construction)."""
+    return (
+        f"((7*({a}) + ({b})) % 23 <> 0 AND (({a}) + ({b})) % 7 <> 0 "
+        f"AND (({a}) + 2*({b})) % 2 = 0 AND (({a}) + 5*({b})) % 6 = 4)"
+    )
+
+
+def _duckdb_staircase_geometry_sql(refs_sql: str, pred_fn, drop: str) -> str:
+    """Expected FREE-quad corners per staircase-class media_ref in
+    reading order, in deci-pixels (x10, rounded): (media_ref, box_idx,
+    x0d..y3d). ``pred_fn(a, b)`` selects the class; ``drop`` is the SQL
+    drop of the word's LAST glyph in base px as a function of len_j.
+    Mirrors the full chain: staircase layout -> half-res cell-top
+    quantization (exact: all boundaries even-aligned) -> x2 rescale ->
+    group_text_box's free-path margin expansion (q = p + sign(p - ctr)
+    * 0.1*h, reference easyocr/utils.py:463-481) with its float
+    arithmetic reproduced verbatim (0.1*h is the same IEEE double in
+    both engines; outputs are rounded deci-pixels so the comparison is
+    integer-exact)."""
     a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
     b = "TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)"
     v = _vocab_sql()
     return f"""
     WITH refs AS (
       SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
-      WHERE {duckdb_slant_pred(a, b)}
+      WHERE {pred_fn(a, b)}
     ),
     geo AS (
       SELECT media_ref, a, b, (2 + 2*((a + b) % 2)) AS s,
@@ -387,10 +414,10 @@ def duckdb_slanted_geometry_sql(refs_sql: str) -> str:
              ((4 + x_off) * s)::DOUBLE AS xl,
              ((4 + x_off + w_ink) * s)::DOUBLE AS xr,
              (4 * s)::DOUBLE AS t0,
-             ((len_j - 1) * {SLANT_DY} * s)::DOUBLE AS dd,
+             (({drop}) * s)::DOUBLE AS dd,
              (7 * s)::DOUBLE AS h,
              0.1 * (7 * s)::DOUBLE AS m,
-             CASE WHEN (len_j - 1) * {SLANT_DY} > 7 THEN 1 ELSE -1 END AS sgn
+             CASE WHEN ({drop}) > 7 THEN 1 ELSE -1 END AS sgn
       FROM words
     )
     SELECT media_ref, CAST(box_idx AS INT) AS box_idx,
@@ -404,6 +431,20 @@ def duckdb_slanted_geometry_sql(refs_sql: str) -> str:
            CAST(round((t0 + h - sgn * m) * 10) AS BIGINT) AS y3d
     FROM pre
     """
+
+
+def duckdb_slanted_geometry_sql(refs_sql: str) -> str:
+    return _duckdb_staircase_geometry_sql(
+        refs_sql, duckdb_slant_pred, f"(len_j - 1) * {SLANT_DY}"
+    )
+
+
+def duckdb_curved_geometry_sql(refs_sql: str) -> str:
+    """Curved-class quads: drop of the last glyph is curve_off(len-1)
+    = (len-1) + (len-1)//2 (render.curve_off)."""
+    return _duckdb_staircase_geometry_sql(
+        refs_sql, duckdb_curve_pred, "(len_j - 1) + len_j // 2"
+    )
 
 
 def duckdb_image_features_sql(refs_sql: str) -> str:
@@ -462,19 +503,20 @@ def duckdb_image_features_sql(refs_sql: str) -> str:
     """
 
 
-def duckdb_poly_geometry_sql(refs_sql: str) -> str:
-    """Expected getPoly_core-style staircase polygons per slanted
-    media_ref: (media_ref, box_idx, pt_idx, x, y) integer pixels.
-    Point order: cell tops left-to-right (two points per glyph cell),
-    then cell bottoms right-to-left — a closed 4L-point outline for an
-    L-glyph word."""
+def _duckdb_staircase_poly_sql(refs_sql: str, pred_fn, cell_drop: str) -> str:
+    """Expected getPoly_core-style staircase polygons per media_ref of
+    a staircase class: (media_ref, box_idx, pt_idx, x, y) integer
+    pixels. ``cell_drop`` is the SQL drop of glyph cell g (g = f // 2)
+    in base px. Point order: cell tops left-to-right (two points per
+    glyph cell), then cell bottoms right-to-left — a closed 4L-point
+    outline for an L-glyph word."""
     a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
     b = "TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)"
     v = _vocab_sql()
     return f"""
     WITH refs AS (
       SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
-      WHERE {duckdb_slant_pred(a, b)}
+      WHERE {pred_fn(a, b)}
     ),
     geo AS (
       SELECT media_ref, a, b, (2 + 2*((a + b) % 2)) AS s,
@@ -500,9 +542,22 @@ def duckdb_poly_geometry_sql(refs_sql: str) -> str:
     )
     SELECT media_ref, CAST(box_idx AS INT) AS box_idx, CAST(p AS INT) AS pt_idx,
            CAST((4 + x_off + (f // 2) * 6 + (f % 2) * 5) * s AS INT) AS x,
-           CAST((4 + (f // 2) * {SLANT_DY}) * s + is_bot * 7 * s AS INT) AS y
+           CAST((4 + ({cell_drop})) * s + is_bot * 7 * s AS INT) AS y
     FROM pts
     """
+
+
+def duckdb_poly_geometry_sql(refs_sql: str) -> str:
+    return _duckdb_staircase_poly_sql(
+        refs_sql, duckdb_slant_pred, f"(f // 2) * {SLANT_DY}"
+    )
+
+
+def duckdb_curved_poly_sql(refs_sql: str) -> str:
+    """Curved-class polygons: cell g drops curve_off(g) = g+(g+1)//2."""
+    return _duckdb_staircase_poly_sql(
+        refs_sql, duckdb_curve_pred, "(f // 2) + ((f // 2) + 1) // 2"
+    )
 
 
 def duckdb_box_geometry_sql(refs_sql: str) -> str:
@@ -523,6 +578,7 @@ def duckdb_box_geometry_sql(refs_sql: str) -> str:
       SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
       WHERE (7*{a} + {b}) % 23 <> 0
         AND NOT {duckdb_slant_pred(a, b)}
+        AND NOT {duckdb_curve_pred(a, b)}
     ),
     geo AS (
       SELECT media_ref, a, b,
@@ -591,6 +647,8 @@ def duckdb_dims_exprs(ref_col: str) -> tuple[str, str]:
         f"CASE WHEN (7*({a}) + ({b})) % 23 = 0 THEN 14 "
         f"WHEN {duckdb_slant_pred(a, b)} "
         f"THEN CAST((8 + 7 + ({max_len} - 1) * {SLANT_DY}) * {scale} AS INT) "
+        f"WHEN {duckdb_curve_pred(a, b)} "
+        f"THEN CAST((8 + 7 + ({max_len} - 1) + {max_len} // 2) * {scale} AS INT) "
         f"ELSE CAST((8 + {n_lines} * 7 + ({n_lines} - 1) * 4) * {scale} AS INT) END"
     )
     return width, height

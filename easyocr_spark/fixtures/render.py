@@ -39,12 +39,28 @@ def line_width(words: list[str]) -> int:
     return sum(word_width(w) for w in words) + (len(words) - 1) * (WORD_GAP + 1)
 
 
-def line_height(words: list[str], slant_dy: int) -> int:
+def curve_off(g: int) -> int:
+    """Per-glyph drop of the CURVED staircase class: g + (g+1)//2 base
+    px (successive slopes alternate 2 and 1 px — a non-linear, monotone
+    staircase). The FIRST step is 2 px so even 2-glyph words clear the
+    grouping slope threshold (2/11 > 0.1, the same minimum the linear
+    slant class rides); bounded steps keep adjacent glyph cells
+    overlapping vertically (max step 2 < GLYPH_H), so a word stays one
+    connected component under the detector's link dilation."""
+    return g + (g + 1) // 2
+
+
+def glyph_dy(g: int, slant_dy: int, curve: bool) -> int:
+    return curve_off(g) if curve else g * slant_dy
+
+
+def line_height(words: list[str], slant_dy: int, curve: bool = False) -> int:
     """Ink height of a rendered line: GLYPH_H, plus the staircase drop
-    of the line's longest word when slanted."""
-    if slant_dy == 0:
+    of the line's longest word when slanted or curved."""
+    if slant_dy == 0 and not curve:
         return GLYPH_H
-    return GLYPH_H + (max(len(w) for w in words) - 1) * slant_dy
+    longest = max(len(w) for w in words)
+    return GLYPH_H + glyph_dy(longest - 1, slant_dy, curve)
 
 
 def render_text(
@@ -52,6 +68,7 @@ def render_text(
     scale: int = 2,
     low_contrast: bool = False,
     slant_dy: int = 0,
+    curve: bool = False,
     atlas: dict | None = None,
 ) -> np.ndarray:
     """Render lines of words -> uint8[H, W] grayscale image.
@@ -63,14 +80,17 @@ def render_text(
     grouping slope_ths, so these words route through the free-box
     (rotated-quad) pipeline end to end.
 
-    ``atlas`` selects the script's glyph shapes (default: the latin
-    atlas) — the render-side half of per-script model routing."""
+    ``curve`` renders the CURVED staircase (glyph g drops curve_off(g)
+    base px — variable slope, same upright-glyph exactness as the
+    linear slant). ``atlas`` selects the script's glyph shapes
+    (default: the latin atlas) — the render-side half of per-script
+    model routing."""
     atlas = atlas or ATLAS
     ink, bg = (LOW_INK, LOW_BG) if low_contrast else (INK, BG)
     w = 2 * MARGIN + max(line_width(ws) for ws in lines)
     h = (
         2 * MARGIN
-        + sum(line_height(ws, slant_dy) for ws in lines)
+        + sum(line_height(ws, slant_dy, curve) for ws in lines)
         + (len(lines) - 1) * LINE_GAP
     )
     img = np.full((h, w), bg, dtype=np.uint8)
@@ -80,12 +100,12 @@ def render_text(
         for word in words:
             for g_idx, ch in enumerate(word):
                 g = atlas[ch]
-                gy = y + g_idx * slant_dy
+                gy = y + glyph_dy(g_idx, slant_dy, curve)
                 img[gy : gy + GLYPH_H, x : x + GLYPH_W][g == 1] = ink
                 x += CELL_W
             # x is now one spacing col past the word's last glyph col
             x += WORD_GAP
-        y += line_height(words, slant_dy) + LINE_GAP
+        y += line_height(words, slant_dy, curve) + LINE_GAP
     if scale != 1:
         img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
     return img

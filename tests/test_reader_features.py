@@ -273,3 +273,32 @@ def test_chinese_forces_greedy_decoder():
     r = StandInReader(lang_list=["chinese"], decoder="beamsearch")
     assert r.decoder == "greedy"
     assert StandInReader(decoder="beamsearch").decoder == "beamsearch"
+
+
+def test_curved_class_end_to_end():
+    """Curved (variable-slope staircase) media: recognition is exact
+    through the free-quad + deshear path, and the poly outline traces
+    each cell's own curve_off drop."""
+    from easyocr_spark.fixtures.render import curve_off
+
+    # find a few curved refs
+    refs = [
+        f"m_{a}_{b}"
+        for a in range(40)
+        for b in range(3)
+        if corpus.media_spec(f"m_{a}_{b}")["curve"]
+    ][:4]
+    assert refs, "curved class must be populated"
+    for ref in refs:
+        spec = corpus.media_spec(ref)
+        r = StandInReader(lang_list=[spec["lang"]])
+        img = png.decode_gray(corpus.render_media(ref))
+        assert r.readtext_text(img) == corpus.ground_truth_text(ref), ref
+    # poly outline of a curved word follows curve_off per cell
+    img = render.render_text([["FALCON"]], scale=2, curve=True)
+    (poly,) = detection.detect_polys(img)
+    assert poly is not None and len(poly) == 4 * 6
+    tops = poly[: 2 * 6 : 2, 1]  # left-top y of each glyph cell
+    base = tops[0]
+    expect = [base + 2 * curve_off(g) for g in range(6)]  # scale 2
+    assert tops.tolist() == expect
