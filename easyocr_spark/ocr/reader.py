@@ -153,8 +153,10 @@ def _is_vertical_edged(quad: np.ndarray) -> bool:
 class StandInReader:
     """Deterministic Reader; constructor args mirror the reference's
     decision-tree outputs (language list -> model/charset routing,
-    reference easyocr/easyocr.py:106-167). The stand-in has one glyph
-    atlas, so lang only tags results."""
+    reference easyocr/easyocr.py:106-167). lang_list routes between the
+    two stand-in script atlases (latin vs cjk — routing is load-bearing:
+    decoding cjk-rendered media with the latin model fails) and flips
+    arabic output to RTL."""
 
     def __init__(
         self,
