@@ -286,6 +286,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORACLE-ONLY baseline: quadratic by design; the scale path for
+    # this contract is dedup_minhash_lsh (verified equal to this)
     return dedup.jaccard_pairs_exhaustive(_mutated(spark, sf_dir))
 
 

@@ -162,7 +162,12 @@ def jaccard_pairs_exhaustive(
     docs: DataFrame, threshold_milli: int = JACCARD_MILLI
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard_milli) for all pairs with J >= threshold.
-    Integer-rational comparison — engines agree exactly."""
+    Integer-rational comparison — engines agree exactly.
+
+    ORACLE-ONLY: deliberately quadratic in docs per shared shingle —
+    this is the correctness baseline minhash_lsh_pairs is verified
+    against, exposed as a driver query only so the driver can check it
+    too. The scale path for this contract is minhash_lsh_pairs."""
     return _jaccard_from_shingles(shingle_sets(docs), threshold_milli)
 
 
