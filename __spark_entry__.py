@@ -322,6 +322,18 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_stats(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.top_ngrams(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.doc_frequency(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.stratified_sample(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
 
@@ -463,6 +475,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
+        "top_ngrams": q_top_ngrams,
+        "doc_frequency": q_doc_frequency,
+        "stratified_sample": q_stratified_sample,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
@@ -570,6 +585,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "token_stats": ta.duckdb_token_stats_sql(),
+        "top_ngrams": ta.duckdb_top_ngrams_sql(),
+        "doc_frequency": ta.duckdb_doc_frequency_sql(),
+        "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "knn_brute": similarity.duckdb_brute_topk_sql(),
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),

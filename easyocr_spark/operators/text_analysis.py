@@ -136,6 +136,89 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return prefixed.select("doc_id", fp.alias("fingerprint"))
 
 
+NGRAM_N = 2
+NGRAM_K = 20
+# portable LCG mix for deterministic sampling: int64-safe in both engines
+SAMPLE_MULT = 1103515245
+SAMPLE_INC = 12345
+SAMPLE_MOD = 2147483647
+
+
+def top_ngrams(docs: DataFrame, n: int = NGRAM_N, k: int = NGRAM_K) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count — the
+    vocabulary/contamination scan of a training-data pipeline.
+
+    Scale shape: explode -> ONE shuffle on the n-gram for the count agg
+    (map-side partial aggregation), then the global top-k runs as
+    TakeOrdered (per-partition heads + driver merge of k rows), not a
+    full sort. Ties break (count desc, ngram asc) so the output is
+    deterministic."""
+    toks = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            # sequence(1, 0) yields [1, 0] (documented Catalyst trap) —
+            # hence the size guard above
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def doc_frequency(docs: DataFrame) -> DataFrame:
+    """Per-token document frequency (the DF half of TF-IDF): tokens
+    deduplicated within each doc, one shuffle on the token. df_per_mille
+    keeps the ratio integer so engines hash-compare exactly; consumers
+    derive idf = ln(total/df) themselves (floats don't cross the
+    oracle boundary)."""
+    toks = tokens_col(F.col("text"))
+    total = docs.count()
+    per_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("token")
+    )
+    return per_doc.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.lit(total).alias("total_docs"),
+        F.floor(F.count("*") * 1000 / F.lit(total)).cast("long").alias(
+            "df_per_mille"
+        ),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, target_per_stratum: int = 100
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling by ``lang``: each
+    stratum gets a per-mille keep rate aiming at ``target_per_stratum``
+    docs, and a doc is kept iff lcg(doc_id) % 1000 < rate — fully
+    reproducible (no RNG state), engine-portable int64 arithmetic.
+
+    Scale shape: one small aggregation for stratum counts, broadcast
+    back onto the corpus scan, then a narrow filter — no shuffle of the
+    data itself. The standard downsample-to-balance step of a
+    training-data pipeline."""
+    from pyspark.sql.functions import broadcast
+
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_stratum"))
+    rate = F.least(
+        F.lit(1000),
+        F.floor(F.lit(target_per_stratum) * 1000 / F.col("n_stratum")),
+    ).cast("long")
+    h = (F.col("doc_id") * SAMPLE_MULT + SAMPLE_INC) % SAMPLE_MOD
+    return (
+        docs.join(broadcast(counts.select("lang", rate.alias("rate_milli"))), "lang")
+        .filter(h % 1000 < F.col("rate_milli"))
+        .select("doc_id", "lang", "rate_milli")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 def duckdb_token_stats_sql(table: str = "documents") -> str:
     return f"""
@@ -189,6 +272,58 @@ def duckdb_lang_id_sql(table: str = "documents") -> str:
     SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
            {greatest} AS best_score
     FROM s
+    """
+
+
+def duckdb_top_ngrams_sql(
+    table: str = "documents", n: int = NGRAM_N, k: int = NGRAM_K
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM {table}
+    ),
+    grams AS (
+      SELECT UNNEST(CASE WHEN len(t) >= {n}
+        THEN list_transform(range(1, len(t) - {n} + 2),
+               i -> array_to_string(list_slice(t, CAST(i AS INT),
+                                               CAST(i + {n} - 1 AS INT)), ' '))
+        ELSE [] END) AS ngram
+      FROM toks
+    )
+    SELECT ngram, count(*) AS n_occurrences
+    FROM grams GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT {k}
+    """
+
+
+def duckdb_doc_frequency_sql(table: str = "documents") -> str:
+    return f"""
+    WITH total AS (SELECT count(*) AS n FROM {table}),
+    per_doc AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        regexp_split_to_array(lower(text), '\\s+'))) AS token
+      FROM {table}
+    )
+    SELECT token, count(*) AS df, total.n AS total_docs,
+           CAST(floor(count(*) * 1000 / total.n) AS BIGINT) AS df_per_mille
+    FROM per_doc, total GROUP BY token, total.n
+    """
+
+
+def duckdb_stratified_sample_sql(
+    table: str = "documents", target_per_stratum: int = 100
+) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT lang,
+             least(1000, CAST(floor({target_per_stratum} * 1000 / count(*))
+                         AS BIGINT)) AS rate_milli
+      FROM {table} GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, c.rate_milli
+    FROM {table} d JOIN counts c USING (lang)
+    WHERE ((d.doc_id * {SAMPLE_MULT} + {SAMPLE_INC}) % {SAMPLE_MOD}) % 1000
+          < c.rate_milli
     """
 
 

@@ -1,0 +1,65 @@
+"""Training-data text operators on a hand-checkable corpus (the DuckDB
+oracles are the primary gate; these pin the semantics on tiny inputs)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from easyocr_spark.operators import text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick fox", "en"),
+        (1, "the quick fox", "en"),
+        (2, "quick fox runs", "en"),
+        (3, "der schnelle fuchs", "de"),
+        (10, "la zorra", "es"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+
+
+def test_top_ngrams_counts_and_order(docs):
+    out = ta.top_ngrams(docs, n=2, k=3).toPandas()
+    assert out.values.tolist() == [
+        ["quick fox", 3],
+        ["the quick", 2],
+        ["der schnelle", 1],  # count-1 ties break ngram-ascending
+    ]
+
+
+def test_top_ngrams_short_doc_guard(spark):
+    one = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["word"]}))
+    # 1 token < n=2: the sequence(1, 0) trap must yield zero n-grams
+    assert ta.top_ngrams(one, n=2).count() == 0
+
+
+def test_doc_frequency(docs):
+    out = ta.doc_frequency(docs).toPandas().set_index("token")
+    assert out.loc["fox", "df"] == 3
+    assert out.loc["the", "df"] == 2
+    assert (out["total_docs"] == 5).all()
+    assert out.loc["fox", "df_per_mille"] == 600
+
+
+def test_stratified_sample_deterministic_and_capped(docs):
+    out = ta.stratified_sample(docs, target_per_stratum=1).toPandas()
+    # rates: en 1/3 -> 333, de 1/1 -> 1000, es 1/1 -> 1000
+    rates = dict(zip(out.lang, out.rate_milli))
+    assert rates.get("de") == 1000 and rates.get("es") == 1000
+    # strata at/below target keep everything
+    assert set(out[out.lang == "de"].doc_id) == {3}
+    assert set(out[out.lang == "es"].doc_id) == {10}
+    # en keeps exactly the docs whose LCG residue clears 333
+    kept = {
+        d
+        for d in (0, 1, 2)
+        if ((d * ta.SAMPLE_MULT + ta.SAMPLE_INC) % ta.SAMPLE_MOD) % 1000 < 333
+    }
+    assert set(out[out.lang == "en"].doc_id) == kept
+    # deterministic: same result twice
+    again = ta.stratified_sample(docs, target_per_stratum=1).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
