@@ -391,6 +391,19 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
+    state): every event fed twice across separate micro-batches must
+    come out exactly once — equals the batch DISTINCT."""
+    import os
+
+    from easyocr_spark.streaming import stream
+
+    return stream.streaming_dedup_exact(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user gap sessionization with explicit state + event-time
@@ -490,6 +503,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_windowed": q_streaming_windowed,
         "streaming_windowed_append": q_streaming_windowed_append,
         "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
     }
 
 
@@ -600,4 +614,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed": events.duckdb_windowed_sql(),
         "streaming_windowed_append": events.duckdb_windowed_append_sql(),
         "streaming_sessionize_stateful": events.duckdb_sessionize_closed_sql(),
+        "streaming_dedup_exact": "SELECT DISTINCT event_id FROM events",
     }

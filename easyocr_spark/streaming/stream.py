@@ -305,6 +305,69 @@ def streaming_sessionize_stateful(
     return result
 
 
+def streaming_dedup_exact(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup: the streaming twin of the batch exact-dup
+    operator, via ``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key only within the watermark horizon (bounded state, the
+    production shape; plain dropDuplicates would grow state forever).
+
+    The source feeds every event TWICE in two separate files processed
+    as separate micro-batches (maxFilesPerTrigger=1), so duplicates
+    must be caught ACROSS batches by the state store, not by in-batch
+    distinct. Contract: each event_id is emitted exactly once —
+    duplicates inside the horizon hit state and are dropped; duplicates
+    arriving after the watermark passed their event time are dropped as
+    late rows. Either way the output equals the batch DISTINCT."""
+    schema = spark.read.parquet(events_path).schema
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    base = (
+        events_path
+        if os.path.isfile(events_path)
+        else os.path.join(events_path)
+    )
+    if os.path.isdir(base):
+        files = [
+            os.path.join(base, f)
+            for f in os.listdir(base)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [base]
+    now = 1_700_000_000
+    for rep in range(2):
+        for i, f in enumerate(sorted(files)):
+            dst = os.path.join(src, f"rep{rep}_{i}.parquet")
+            shutil.copy(f, dst)
+            now += 10
+            os.utime(dst, (now, now))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).select("event_id").cache()
+    result.count()
+    return result
+
+
 def stream_extract_foreachbatch(
     spark: SparkSession,
     docs_path: str,

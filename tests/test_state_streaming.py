@@ -228,3 +228,19 @@ def test_stateful_sessionize_matches_closed_batch_sessions(spark):
     assert got.exceptAll(closed).count() == 0
     assert closed.exceptAll(got).count() == 0
     got.unpersist()
+
+
+def test_streaming_dedup_exact_across_batches(spark):
+    """Every event fed twice in separate micro-batches comes out once:
+    in-horizon duplicates die against the state store, out-of-horizon
+    ones as late rows — output equals the batch DISTINCT either way."""
+    ev_path = os.path.join(SF, "events.parquet")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got = stream.streaming_dedup_exact(spark, ev_path)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    batch = spark.read.parquet(ev_path).select("event_id").distinct()
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    got.unpersist()
