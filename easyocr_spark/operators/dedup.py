@@ -403,24 +403,41 @@ def _simhash_signatures_n(docs: DataFrame, bases: list[int]) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
     )
-    with_chars = toks.select(
-        "doc_id",
+    # dictionary-encode: the expensive part (substring-per-char
+    # extraction + K polynomial folds) runs once per DISTINCT token,
+    # not once per occurrence — natural text is Zipfian, so the
+    # dictionary is orders of magnitude smaller than the token stream.
+    # Broadcast fits any sane vocabulary (10^7 tokens ~ a few hundred
+    # MB); beyond that, drop the broadcast hint and this becomes a
+    # shuffled equi-join on the token, still beating per-occurrence
+    # hashing.
+    with_chars = toks.select("token").distinct().select(
+        "token",
         F.transform(
             F.sequence(F.lit(1), F.length("token")),
             lambda i: F.ascii(F.substring(F.col("token"), i, 1)),
         ).alias("cs"),
     )
-    hashed = with_chars.select(
-        "doc_id",
+    tok_hashes = with_chars.select(
+        "token",
         *[
             _poly_hash(F.col("cs"), base).alias(f"t{h}")
             for h, base in enumerate(bases, start=1)
         ],
     )
+    # (doc, token) term frequencies first: the per-bit aggregation then
+    # runs over doc x distinct-token rows instead of the raw token
+    # stream (sum over occurrences == sum of cnt * (+-1) per token),
+    # and bits extract with integer shiftright — both exact
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    hashed = tf.join(F.broadcast(tok_hashes), "token").drop("token")
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.floor(F.col(f"t{h}") / F.lit(2 ** j)) % 2) * 2 - 1
+                (
+                    F.shiftright(F.col(f"t{h}"), j).bitwiseAND(F.lit(1)) * 2 - 1
+                )
+                * F.col("cnt")
             ).alias(f"b{h}_{j}")
             for h in range(1, len(bases) + 1)
             for j in range(31)
