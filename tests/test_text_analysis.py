@@ -63,3 +63,24 @@ def test_stratified_sample_deterministic_and_capped(docs):
     # deterministic: same result twice
     again = ta.stratified_sample(docs, target_per_stratum=1).toPandas()
     assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_bench_previous_round_timings_reads_driver_wrapper(tmp_path, monkeypatch):
+    """bench.py's outlier baseline must unwrap the driver's BENCH_r*.json
+    format (our JSON line nested under 'parsed') and pick the newest
+    round."""
+    import json
+
+    import bench
+
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 9.0}}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 3.0}}})
+    )
+    (tmp_path / "BENCH_rbad.json").write_text("not json")
+    monkeypatch.setattr(
+        "os.path.dirname", lambda p: str(tmp_path), raising=True
+    )
+    assert bench._previous_round_timings() == {"q": 3.0}
