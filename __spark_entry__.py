@@ -330,6 +330,10 @@ def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.doc_frequency(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.repetition_signals(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.stratified_sample(tables.read_table(spark, sf_dir, "documents"))
 
@@ -491,6 +495,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
         "stratified_sample": q_stratified_sample,
+        "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
@@ -602,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
+        "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "knn_brute": similarity.duckdb_brute_topk_sql(),
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),

@@ -219,6 +219,64 @@ def stratified_sample(
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    duplicate-line, duplicate-token and most-frequent-bigram fractions
+    that pre-training pipelines threshold to drop boilerplate/spam.
+    All integer per-mille arithmetic, so the oracle compares exactly.
+
+    Scale shape: the line/token duplicate fractions are a NARROW
+    projection (array_distinct inside the row — no shuffle); only the
+    per-doc bigram mode needs one explode + (doc, gram) count + max,
+    the same linear shape as the n-gram scan."""
+    toks = tokens_col(F.col("text"))
+    lines = F.split(F.col("text"), r"\n")
+    base = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.floor(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            * 1000
+            / F.size(lines)
+        ).cast("long").alias("dup_line_milli"),
+        F.floor(
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            * 1000
+            / F.size(toks)
+        ).cast("long").alias("dup_token_milli"),
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_counts = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total_grams"),
+        )
+    )
+    top = gram_counts.select(
+        "doc_id",
+        F.floor(F.col("top_c") * 1000 / F.col("total_grams")).cast("long").alias(
+            "top_bigram_milli"
+        ),
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_milli",
+        "dup_token_milli",
+        F.coalesce("top_bigram_milli", F.lit(0)).alias("top_bigram_milli"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 def duckdb_token_stats_sql(table: str = "documents") -> str:
     return f"""
@@ -324,6 +382,44 @@ def duckdb_stratified_sample_sql(
     FROM {table} d JOIN counts c USING (lang)
     WHERE ((d.doc_id * {SAMPLE_MULT} + {SAMPLE_INC}) % {SAMPLE_MOD}) % 1000
           < c.rate_milli
+    """
+
+
+def duckdb_repetition_sql(table: str = "documents") -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, '\\n') AS lines,
+             regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM {table}
+    ),
+    narrow AS (
+      SELECT doc_id,
+             len(lines) AS n_lines,
+             CAST(floor((len(lines) - len(list_distinct(lines))) * 1000
+                        / len(lines)) AS BIGINT) AS dup_line_milli,
+             CAST(floor((len(toks) - len(list_distinct(toks))) * 1000
+                        / len(toks)) AS BIGINT) AS dup_token_milli,
+             toks
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 2
+        THEN list_transform(range(1, len(toks)),
+               i -> array_to_string(list_slice(toks, CAST(i AS INT),
+                                               CAST(i + 1 AS INT)), ' '))
+        ELSE [] END) AS gram
+      FROM narrow
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id,
+             CAST(floor(max(c) * 1000 / sum(c)) AS BIGINT) AS top_bigram_milli
+      FROM gc GROUP BY 1
+    )
+    SELECT n.doc_id, n.n_lines, n.dup_line_milli, n.dup_token_milli,
+           coalesce(t.top_bigram_milli, 0) AS top_bigram_milli
+    FROM narrow n LEFT JOIN top t USING (doc_id)
     """
 
 

@@ -84,3 +84,26 @@ def test_bench_previous_round_timings_reads_driver_wrapper(tmp_path, monkeypatch
         "os.path.dirname", lambda p: str(tmp_path), raising=True
     )
     assert bench._previous_round_timings() == {"q": 3.0}
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "a b a b a b"),          # bigram 'a b' dominates
+        (1, "x\nx\ny"),              # duplicate line
+        (2, "all distinct tokens here"),
+        (3, "w"),                    # single token: no bigrams
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = (
+        ta.repetition_signals(docs).toPandas().set_index("doc_id").sort_index()
+    )
+    # doc 0: 6 tokens, 2 distinct -> dup 666; bigrams: 'a b' x3, 'b a' x2
+    assert out.loc[0, "dup_token_milli"] == 666
+    assert out.loc[0, "top_bigram_milli"] == 600
+    # doc 1: lines [x, x, y] -> dup 333
+    assert out.loc[1, "n_lines"] == 3
+    assert out.loc[1, "dup_line_milli"] == 333
+    assert out.loc[2, "dup_token_milli"] == 0
+    assert out.loc[3, "top_bigram_milli"] == 0
