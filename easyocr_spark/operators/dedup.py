@@ -282,70 +282,134 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------- components / keep-lists
+def _star_contract(edges: DataFrame, max_rounds: int = 12):
+    """Alternating star contraction over an undirected edge set —
+    connected components in O(log n) rounds, not O(diameter).
+
+    The large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): with nodes totally
+    ordered, LARGE-STAR hooks each node's strictly-larger neighbors onto
+    the minimum of its neighborhood, SMALL-STAR re-hooks each node and
+    its smaller neighbors onto that minimum. Both preserve connectivity
+    and never drop a node; their joint fixed point is a union of
+    disjoint stars centered at each component's minimum node. Chains
+    roughly halve in diameter per alternation, so a 10^6-long mutant
+    chain at 100 TB converges in ~20 rounds where min-label propagation
+    would need 10^6.
+
+    Each round is two groupBy shuffles on the (shrinking) edge set, and
+    each round's result is ``localCheckpoint``-ed: an iterative plan
+    that references its predecessor grows exponentially many logical
+    nodes without truncation and stalls the ANALYZER long before any
+    task runs (on a cluster this would be a reliable checkpoint /
+    intermediate table).
+
+    Input: DataFrame (u, v) of undirected edges (any orientation).
+    Returns ``(labels, rounds)``: labels (doc_id, comp) for every node
+    with at least one edge, comp = min node id of its component; rounds
+    = alternations needed to reach the fixed point. Raises if the edge
+    set is still changing after ``max_rounds`` alternations."""
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+
+    def large_star(s: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v ∈ Γ(u), v > u.
+        # v > u >= m(u) so the pair is already canonical (hi > lo).
+        m = s.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        return (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        )
+
+    def small_star(s: DataFrame) -> DataFrame:
+        # m(u) = min(Γ⁻(u)) over strictly-smaller neighbors; emit (x, m)
+        # for x ∈ Γ⁻(u) ∪ {u}. The min itself yields a self-loop
+        # (dropped); u > m(u) is canonical, neighbors need reordering.
+        smaller = s.filter(F.col("v") < F.col("u"))
+        m = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        rehooked = smaller.join(m, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        both = rehooked.unionByName(self_edge)
+        return both.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        ).filter(F.col("hi") != F.col("lo"))
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("hi", "lo")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"] or 0)
+
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = signature(e)
+    rounds = 0
+    converged = False
+    for rounds in range(1, max_rounds + 1):
+        e = (
+            small_star(sym(large_star(sym(e)).distinct()))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        # an edge set still changing after max_rounds would yield
+        # silently WRONG component ids — fail loudly instead
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds; "
+            "raise max_rounds — the near-dup graph is far larger than "
+            "expected (O(log n) rounds suffice at the fixed point)"
+        )
+    # fixed point = disjoint stars (member, center): members label with
+    # the center, the center labels with itself
+    labels = (
+        sym(e)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("doc_id"), F.least("u", "mn").alias("comp"))
+    )
+    return labels, rounds
+
+
 def dedup_components(docs: DataFrame, max_iter: int = 12) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-verified
     pair graph — the step that turns pairwise matches into per-cluster
     keep/drop decisions (component id = min doc_id = the canonical
     representative a dedup pass would keep).
 
-    Iterative min-label propagation as a bounded driver loop over
-    DataFrame joins (the alternating-star pattern's simple variant):
-    each round every vertex takes the min component id among itself and
-    its neighbors; rounds needed = graph diameter (tiny here; O(log n)
-    with star-contraction at web scale — the loop shape is the same).
-    Each round's labels are ``localCheckpoint``-ed: an iterative plan
-    that references its predecessor three times grows 3^i logical nodes
-    without truncation and stalls the ANALYZER long before any task
-    runs — checkpointing per round keeps planning O(1) per iteration
-    (on a cluster this would be a reliable checkpoint / intermediate
-    table). Output: (doc_id, component_id, n_members), only for docs
-    that participate in at least one near-dup pair."""
+    Components via alternating star contraction (``_star_contract``,
+    O(log n) rounds — web-scale safe for long mutant chains), verified
+    against the recursive-CTE transitive-closure oracle. Output:
+    (doc_id, component_id, n_members), only for docs that participate
+    in at least one near-dup pair."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
     pairs = minhash_lsh_pairs(docs)
-    edges = pairs.select("doc_a", "doc_b")
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id")).distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint()
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    changed = -1
-    for _ in range(max_iter):
-        # the label table is tiny relative to the corpus (only docs in
-        # near-dup pairs) — broadcast it so each round is shuffle-light
-        nbr = sym.join(
-            F.broadcast(labels.withColumnRenamed("doc_id", "doc_b")), "doc_b"
-        ).select(F.col("doc_a").alias("doc_id"), "comp")
-        new = (
-            labels.select("doc_id", "comp")
-            .unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(F.broadcast(labels.withColumnRenamed("comp", "old")), "doc_id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    if changed != 0:
-        # a chain whose graph diameter exceeds max_iter would return
-        # silently WRONG component ids — fail loudly instead (the
-        # web-scale fix is star-contraction, O(log n) rounds)
-        raise RuntimeError(
-            f"dedup_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — the "
-            "near-dup graph has diameter larger than expected"
-        )
+    labels, _rounds = _star_contract(edges, max_rounds=max_iter)
+    pairs.unpersist()
     w = Window.partitionBy("comp")
     out = labels.select(
         "doc_id",
@@ -354,7 +418,6 @@ def dedup_components(docs: DataFrame, max_iter: int = 12) -> DataFrame:
     )
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    sym.unpersist()
     return out
 
 

@@ -160,3 +160,42 @@ def test_dedup_components_clusters_mutant_chains(spark, docs):
     comp7 = out[out.component_id == 7]
     assert set(comp7.doc_id) == {7, 7 + dedup.EXACT_OFFSET}
     assert 11 not in set(out.doc_id)  # no near-dups -> not in any component
+
+
+def test_star_contraction_long_chain_logarithmic(spark):
+    """A planted path of diameter 40 — which min-label propagation would
+    need 40 rounds for (and the pre-round-4 implementation raised on at
+    >12) — must converge via alternating star contraction in O(log n)
+    alternations and label every node with the chain minimum."""
+    import pandas as pd
+
+    n = 41  # path 0-1-2-...-40, diameter 40
+    edges = spark.createDataFrame(
+        pd.DataFrame({"u": list(range(n - 1)), "v": list(range(1, n))})
+    )
+    labels, rounds = dedup._star_contract(edges, max_rounds=12)
+    assert rounds <= 7, f"star contraction took {rounds} rounds on a 40-chain"
+    out = labels.toPandas()
+    assert len(out) == n
+    assert set(out.doc_id) == set(range(n))
+    assert (out.comp == 0).all()
+
+
+def test_star_contraction_multiple_components_and_orientation(spark):
+    """Components stay separate; input edge orientation is irrelevant;
+    duplicate and reversed edges collapse."""
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # component {0,1,2} (one edge reversed, one duplicated),
+                # component {10,11}, and a triangle {20,21,22}
+                "u": [1, 2, 1, 11, 20, 21, 22],
+                "v": [0, 1, 0, 10, 21, 22, 20],
+            }
+        )
+    )
+    labels, _ = dedup._star_contract(edges, max_rounds=12)
+    out = labels.toPandas().set_index("doc_id")["comp"].to_dict()
+    assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
