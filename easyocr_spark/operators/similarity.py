@@ -10,8 +10,9 @@ exactly and ranking ties break on integer ids.
   deterministic subset (vec_id % QUERY_MOD == 0) joined against the
   full corpus — at 100 TB this is the "small probe set x big corpus"
   shape: broadcast the queries, scan the corpus once, per-partition
-  partial top-k before the final shuffle (Spark's window does the
-  global k; the partial agg keeps the shuffle tiny).
+  Arrow-combiner top-k before the final shuffle (at most k rows per
+  (partition, query) shuffle; the global window finishes exactly on
+  that bounded remainder).
 - lsh_topk: the scale path — 16 deterministic integer hyperplanes
   bucket both sides; candidates only within the probe's bucket. Same
   arithmetic in the oracle (the planes are pure integer formulas), so
@@ -64,9 +65,10 @@ def cos_micro_pre(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
     return F.floor(_dot(a, b) / F.sqrt(n2a * n2b) * F.lit(1_000_000)).cast("long")
 
 
-def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
-    """(query_id, neighbor_id, rank, cos_micro): exact top-k cosine
-    neighbors for the deterministic query subset."""
+def _scored_pairs(embeddings: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cos_micro) for every query x corpus pair:
+    broadcast the bounded probe set, scan the corpus once, norms hoisted
+    per row so the dot product is the only per-pair fold."""
     queries = embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -77,7 +79,7 @@ def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
         F.col("embedding").alias("n_emb"),
         _norm2(F.col("embedding")).alias("n_n2"),
     )
-    scored = (
+    return (
         F.broadcast(queries)
         .crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -89,6 +91,57 @@ def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
             ).alias("cos_micro"),
         )
     )
+
+
+def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos_micro): exact top-k cosine
+    neighbors for the deterministic query subset.
+
+    Two-level top-k: an Arrow combiner runs on each scored partition
+    keeping only the local top-k rows per query (bounded state:
+    |queries| x k rows regardless of partition size), so the final
+    exchange carries at most k rows per (partition, query) instead of
+    every scored row — at 100 TB the shuffle is |partitions| x |Q| x k
+    skinny rows, not n x |Q|. An exact global window finishes on that
+    bounded remainder. Output is identical to the single-window variant
+    (``brute_force_topk_window``, kept as the oracle twin) because the
+    local sort uses the same (cos desc, neighbor_id asc) total order."""
+    scored = _scored_pairs(embeddings)
+
+    def partial_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "cos_micro", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    partial = scored.mapInPandas(
+        partial_topk, schema="query_id long, neighbor_id long, cos_micro long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_micro")
+    )
+
+
+def brute_force_topk_window(embeddings: DataFrame, k: int = K) -> DataFrame:
+    """Single-window twin of ``brute_force_topk``: every scored row
+    shuffles into one window per query. Simpler plan, unbounded shuffle
+    — kept as the oracle-shaped baseline the combiner variant is
+    asserted equal to (tests/test_dedup_similarity.py)."""
+    scored = _scored_pairs(embeddings)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_micro").desc(), F.col("neighbor_id").asc()
     )
@@ -218,7 +271,13 @@ def ivf_topk(
     Window.partitionBy(vec_id)) shuffled n x nlist scored rows just to
     take an argmin, an n^1.5-row Exchange at 100 TB. The only shuffles
     left are the probe equi-join on cent_id and the final bounded
-    top-k window."""
+    top-k window.
+
+    NOTE: building this DataFrame is NOT side-effect-free — the codebook
+    collect() runs an eager Spark job at construction time, and the
+    centroid values are frozen then (not at action time). Callers
+    composing plans lazily (e.g. plans/explain) pay one small job just
+    to build the plan; that is the deliberate FAISS-style trade."""
     import numpy as np
 
     cent_rows = sorted(
@@ -227,6 +286,12 @@ def ivf_topk(
         .collect(),
         key=lambda r: r.vec_id,
     )
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_topk: no centroids — the deterministic codebook rule "
+            f"(vec_id % {CENTROID_MOD} == 3) selected zero vectors from "
+            "the input; IVF needs a non-empty codebook"
+        )
     cent_ids = np.array([int(r.vec_id) for r in cent_rows], dtype=np.int64)
     cents = np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
     cent_n2 = np.array([_py_norm2(r.embedding) for r in cent_rows])
@@ -245,8 +310,16 @@ def ivf_topk(
                 # across the (row x centroid) matrix
                 acc += emb[:, d : d + 1] * cents[None, :, d]
                 n2 += emb[:, d] * emb[:, d]
-            cosm = np.floor(
-                acc / np.sqrt(n2[:, None] * cent_n2[None, :]) * 1_000_000
+            # zero-norm guard: a zero vector (or zero centroid) makes the
+            # cosine 0/0 = NaN, and floor(NaN).astype(int64) is
+            # platform-undefined. Pin those cells to int64 min — a
+            # defined "ranks last" sentinel, so zero-norm rows still get
+            # a deterministic (lowest cent_id) assignment.
+            denom = np.sqrt(n2[:, None] * cent_n2[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = np.floor(acc / denom * 1_000_000)
+            cosm = np.where(
+                denom == 0.0, float(np.iinfo(np.int64).min), raw
             ).astype(np.int64)
             # stable sort of -cos + ascending cent index == the oracle's
             # ORDER BY cos DESC, cent_id ASC (cent_ids are id-sorted)
@@ -284,15 +357,24 @@ def ivf_topk(
             F.explode("probe_cents").alias("cent_id"),
         )
     )
+    # same zero-norm discipline JVM-side: under ANSI mode 0/0 raises
+    # DIVIDE_BY_ZERO, so a zero-norm row in either role gets the defined
+    # ranks-last sentinel the Arrow kernel uses
+    sentinel = F.lit(-(1 << 63)).cast("long")
     cand = (
         probes.join(assigned, "cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cos_micro_pre(
-                F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
-            ).alias("cos_micro"),
+            F.when(
+                (F.col("q_n2") > 0) & (F.col("n_n2") > 0),
+                cos_micro_pre(
+                    F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
+                ),
+            )
+            .otherwise(sentinel)
+            .alias("cos_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

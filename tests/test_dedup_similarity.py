@@ -123,6 +123,45 @@ def test_neardup_finds_scaled_copy(emb):
     assert ((out.id_a == 7) & (out.id_b == 13)).any()
 
 
+def test_brute_topk_combiner_equals_window_twin(emb):
+    """The per-partition Arrow-combiner top-k must be row-for-row equal
+    to the single-window oracle twin, including under a repartition that
+    scatters each query's candidates across many partitions."""
+    scattered = emb.repartition(7)
+    a = (
+        similarity.brute_force_topk(scattered, k=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        similarity.brute_force_topk_window(scattered, k=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_ivf_topk_zero_norm_and_empty_codebook(spark, emb):
+    """ADVICE r3: a zero-norm embedding must not produce NaN-cast
+    garbage (defined sentinel, deterministic assignment), and an input
+    with no vec_id % CENTROID_MOD == 3 centroids must raise clearly."""
+    with_zero = emb.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"vec_id": [39 + 1], "embedding": [[0.0] * 8]})
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+    )
+    out = similarity.ivf_topk(with_zero, k=3).toPandas()
+    assert len(out) > 0  # runs clean; zero vector never NaN-crashes
+    # empty codebook: keep only ids whose residue can't be 3
+    no_cents = emb.filter(F.col("vec_id") % similarity.CENTROID_MOD != 3)
+    with pytest.raises(ValueError, match="no centroids"):
+        similarity.ivf_topk(no_cents, k=3)
+
+
 def test_ivf_topk_recall_vs_brute(emb):
     """IVF with nprobe=2 over a 40-vector corpus: candidates are a
     corpus subset, so ranks are exact-within-list; recall@3 vs brute
