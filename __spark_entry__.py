@@ -422,6 +422,36 @@ def q_streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OCR extraction as a VERIFIED query: the interleaved
+    documents table is replayed as a multi-file AvailableNow stream
+    through foreachBatch(batch extract pipeline) with an idempotent
+    per-epoch parquet sink; the reassembled spans read back from the
+    sink must equal the batch flagship oracle (extract_spans)."""
+    import os
+    import tempfile
+
+    from easyocr_spark.streaming import stream
+
+    docs, media = _docs_media(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="stream_extract_q_")
+    src = os.path.join(d, "src")
+    # several source files -> several micro-batches, so the parity is
+    # across real incremental epochs, not one batch in disguise
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream.stream_extract_foreachbatch(
+        spark, src, media, os.path.join(d, "out"), os.path.join(d, "ckpt")
+    )
+    out = spark.read.parquet(os.path.join(d, "out"))
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def q_streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode streaming twin: watermark + append output to FILES
     (bounded state — closed windows are emitted and evicted). The final
@@ -509,6 +539,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_windowed_append": q_streaming_windowed_append,
         "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
         "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_extract": q_streaming_extract,
     }
 
 
@@ -621,4 +652,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_append": events.duckdb_windowed_append_sql(),
         "streaming_sessionize_stateful": events.duckdb_sessionize_closed_sql(),
         "streaming_dedup_exact": "SELECT DISTINCT event_id FROM events",
+        "streaming_extract": f"""
+            SELECT doc_id, "offset", kind,
+                   CASE WHEN kind = 'media' THEN {gt} ELSE text END AS text,
+                   media_ref
+            FROM ({flat})
+        """,
     }

@@ -129,6 +129,33 @@ DUCKDB_SHINGLES = """
 """
 
 
+def df_capped_shingles(shingles: DataFrame, df_cap: int) -> DataFrame:
+    """Drop shingles whose DOCUMENT FREQUENCY exceeds ``df_cap`` — the
+    standard boilerplate ceiling for web-scale dedup. A shingle shared
+    by millions of documents ("click here to subscribe") makes every
+    shingle-equality join quadratic in its df; capping bounds each
+    shingle's candidate contribution at df_cap^2 while leaving the
+    discriminative (rare) shingles — the ones that actually identify
+    near-dups — untouched.
+
+    Plan shape: one groupBy on shingle (the df count) feeding a
+    left-anti join; the hot set is tiny by construction (only shingles
+    with df > cap), so AQE broadcasts the anti-join side.
+
+    CONTRACT CHANGE when applied: Jaccard becomes Jaccard over the
+    df-capped shingle universe — pairs that share ONLY boilerplate drop
+    out (desired), and sizes/intersections count capped shingles only.
+    The uncapped default (df_cap=None in the callers) remains the
+    oracle contract."""
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return shingles.join(hot, "shingle", "left_anti")
+
+
 def _jaccard_from_shingles(shingles: DataFrame, threshold_milli: int) -> DataFrame:
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -159,7 +186,9 @@ def _jaccard_from_shingles(shingles: DataFrame, threshold_milli: int) -> DataFra
 
 
 def jaccard_pairs_exhaustive(
-    docs: DataFrame, threshold_milli: int = JACCARD_MILLI
+    docs: DataFrame,
+    threshold_milli: int = JACCARD_MILLI,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard_milli) for all pairs with J >= threshold.
     Integer-rational comparison — engines agree exactly.
@@ -167,8 +196,13 @@ def jaccard_pairs_exhaustive(
     ORACLE-ONLY: deliberately quadratic in docs per shared shingle —
     this is the correctness baseline minhash_lsh_pairs is verified
     against, exposed as a driver query only so the driver can check it
-    too. The scale path for this contract is minhash_lsh_pairs."""
-    return _jaccard_from_shingles(shingle_sets(docs), threshold_milli)
+    too. The scale path for this contract is minhash_lsh_pairs.
+    ``df_cap`` applies the boilerplate ceiling (``df_capped_shingles``);
+    the default None keeps the uncapped oracle contract."""
+    sh = shingle_sets(docs)
+    if df_cap is not None:
+        sh = df_capped_shingles(sh, df_cap)
+    return _jaccard_from_shingles(sh, threshold_milli)
 
 
 def duckdb_jaccard_sql(table_sql: str, threshold_milli: int = JACCARD_MILLI) -> str:
@@ -197,9 +231,14 @@ def minhash_lsh_pairs(
     threshold_milli: int = JACCARD_MILLI,
     n_perm: int = N_PERM,
     n_bands: int = N_BANDS,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation + exact verification. Output contract ==
     jaccard_pairs_exhaustive (same oracle), linear-scalable plan.
+    ``df_cap`` drops boilerplate shingles above the document-frequency
+    ceiling from the signature, size, and verify paths alike
+    (``df_capped_shingles`` — self-consistent capped-Jaccard contract);
+    None (the default, and the registered oracle query) stays uncapped.
 
     The shingle table feeds four consumers (minhash agg, sizes, and the
     two sides of the verification join); persisting it avoids four full
@@ -212,7 +251,10 @@ def minhash_lsh_pairs(
     executor storage."""
     from pyspark import StorageLevel
 
-    shingles = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = shingle_sets(docs)
+    if df_cap is not None:
+        shingles = df_capped_shingles(shingles, df_cap)
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     # the 128-way min-agg signature table feeds BOTH sides of the band
     # self-join; persist it (n_docs x 128 longs — ~1 KB/doc) so the
     # most CPU-intensive stage runs once, same ownership discipline as

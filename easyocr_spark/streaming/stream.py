@@ -19,7 +19,9 @@ serves two roles:
 
 from __future__ import annotations
 
+import datetime
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -321,7 +323,18 @@ def streaming_dedup_exact(
     distinct. Contract: each event_id is emitted exactly once —
     duplicates inside the horizon hit state and are dropped; duplicates
     arriving after the watermark passed their event time are dropped as
-    late rows. Either way the output equals the batch DISTINCT."""
+    late rows. Either way the output equals the batch DISTINCT.
+
+    'Equals batch DISTINCT' additionally requires that no event's FIRST
+    copy arrives late (a late first copy is dropped entirely and lost
+    from the output). With multiple input files the replay therefore
+    feeds rep0 in ascending per-file max-event-time order and VALIDATES
+    the ordering is sufficient — each file's min ts must clear the
+    watermark the preceding files establish — raising loudly (widen the
+    watermark) instead of silently losing rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     schema = spark.read.parquet(events_path).schema
     d = tempfile.mkdtemp(prefix="stream_dedup_")
     src = os.path.join(d, "src")
@@ -339,9 +352,29 @@ def streaming_dedup_exact(
         ]
     else:
         files = [base]
+    spans = []
+    for f in files:
+        ts = pq.read_table(f, columns=["ts"]).column("ts")
+        spans.append((pc.max(ts).as_py(), pc.min(ts).as_py(), f))
+    spans.sort()  # ascending per-file max event time
+    m = re.fullmatch(r"(\d+)\s+(second|minute|hour)s?", watermark.strip())
+    if not m:
+        raise ValueError(f"unsupported watermark format: {watermark!r}")
+    horizon = datetime.timedelta(**{m.group(2) + "s": int(m.group(1))})
+    running_max = None
+    for mx, mn, f in spans:
+        if running_max is not None and mn < running_max - horizon:
+            raise ValueError(
+                f"streaming_dedup_exact: file {os.path.basename(f)} holds "
+                f"events older than the watermark horizon set by earlier "
+                f"files (min {mn} < {running_max} - {horizon}); its first "
+                "copies would be dropped as late and lost from the output "
+                "— widen the watermark"
+            )
+        running_max = mx if running_max is None else max(running_max, mx)
     now = 1_700_000_000
     for rep in range(2):
-        for i, f in enumerate(sorted(files)):
+        for i, (_, _, f) in enumerate(spans):
             dst = os.path.join(src, f"rep{rep}_{i}.parquet")
             shutil.copy(f, dst)
             now += 10

@@ -201,6 +201,43 @@ def test_dedup_components_clusters_mutant_chains(spark, docs):
     assert 11 not in set(out.doc_id)  # no near-dups -> not in any component
 
 
+def test_df_cap_bounds_hot_shingle_candidates(spark):
+    """A boilerplate shingle shared by every doc quadratic-blows the
+    shingle-equality join; the df-cap must drop it, bounding candidate
+    mass, while true near-dup pairs (shared RARE shingles) survive."""
+    boiler = "subscribe to our newsletter today"
+    rows = []
+    for d in range(40):
+        rows.append((d, f"{boiler} unique{d}a unique{d}b unique{d}c"))
+    # one true near-dup pair sharing plenty of rare shingles
+    rows.append((100, boiler + " alpha beta gamma delta epsilon zeta eta"))
+    rows.append((101, boiler + " alpha beta gamma delta epsilon zeta eta x"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    sh = dedup.shingle_sets(docs)
+    capped = dedup.df_capped_shingles(sh, df_cap=10)
+    join_rows = lambda s: (
+        s.select(F.col("doc_id").alias("a"), "shingle")
+        .join(s.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+    uncapped_mass = join_rows(sh)
+    capped_mass = join_rows(capped)
+    assert uncapped_mass > 42 * 41 / 2  # hot shingles touch every pair
+    assert capped_mass < 100            # bounded: only rare-shingle pairs
+
+    # capped LSH still finds the real near-dup, loses boilerplate-only J
+    pairs = dedup.minhash_lsh_pairs(docs, df_cap=10).toPandas()
+    assert (100, 101) in set(zip(pairs.doc_a, pairs.doc_b))
+    assert all((a, b) == (100, 101) for a, b in zip(pairs.doc_a, pairs.doc_b))
+    # capped exhaustive agrees with capped LSH (same capped contract)
+    ex = dedup.jaccard_pairs_exhaustive(docs, df_cap=10).toPandas()
+    assert sorted(zip(ex.doc_a, ex.doc_b, ex.jaccard_milli)) == sorted(
+        zip(pairs.doc_a, pairs.doc_b, pairs.jaccard_milli)
+    )
+
+
 def test_star_contraction_long_chain_logarithmic(spark):
     """A planted path of diameter 40 — which min-label propagation would
     need 40 rounds for (and the pre-round-4 implementation raised on at

@@ -244,3 +244,44 @@ def test_streaming_dedup_exact_across_batches(spark):
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     got.unpersist()
+
+
+def test_streaming_dedup_rejects_late_first_copies(spark, tmp_path):
+    """ADVICE r3: a multi-file source whose max-ts ordering still leaves
+    one file's events older than the watermark horizon established by
+    earlier files would silently LOSE those events' first copies as late
+    rows — the replay must refuse loudly instead."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = pd.Timestamp("2024-05-01")
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def write(name, offsets_s, ids):
+        pdf = pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": [1] * len(ids),
+                "event_type": ["a"] * len(ids),
+                "value": [1.0] * len(ids),
+                "ts": [t0 + pd.Timedelta(seconds=s) for s in offsets_s],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf), str(d / name),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    # fileA spans [0, 3600]; fileB sits at [1800] only. Sorted by max ts
+    # B comes first, then A — whose min (0s) is older than B's max
+    # (1800s) minus the 10-minute horizon -> first copies would be late.
+    write("a.parquet", [0, 3600], [1, 2])
+    write("b.parquet", [1800], [3])
+    with pytest.raises(ValueError, match="late"):
+        stream.streaming_dedup_exact(spark, str(d), watermark="10 minutes")
+    # a wide-enough watermark makes the same layout safe and lossless
+    got = stream.streaming_dedup_exact(spark, str(d), watermark="2 hours")
+    assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+    got.unpersist()
