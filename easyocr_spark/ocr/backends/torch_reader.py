@@ -24,6 +24,25 @@ from .torch_crnn import TorchCrnnRecognizer
 CONTRAST_THS = 0.1
 ADJUST_CONTRAST = 0.5
 
+# (lang codes, gen1 model key) in priority order — codes from reference
+# easyocr/config.py:34-40 script lists; keys into torch_resnet.GEN1_MODELS
+GEN1_LANG_ROUTES = (
+    (("th",), "thai"),
+    (("ar", "fa", "ug", "ur"), "arabic"),
+    (
+        ("hi", "mr", "ne", "bh", "mai", "ang", "bho", "mah", "sck", "new",
+         "gom", "sa", "bgc"),
+        "devanagari",
+    ),
+    (("bn", "as", "mni"), "bengali"),
+    (("ta",), "tamil"),
+    (
+        ("ru", "rs_cyrillic", "be", "bg", "uk", "mn", "abq", "ady", "kbd",
+         "ava", "dar", "inh", "che", "lbe", "lez", "tab", "tjk"),
+        "cyrillic",
+    ),
+)
+
 
 class TorchReader:
     def __init__(
@@ -44,13 +63,15 @@ class TorchReader:
         self.decoder = decoder
         self.detector = TorchCraftDetector(craft_weights, quantize=quantize)
         # per-script model routing, mirroring the reference's
-        # gen2-vs-gen1 choice (easyocr/easyocr.py:95-135): thai/arabic
-        # route to the gen1 ResNet family, latin to the gen2 VGG
+        # gen2-vs-gen1 choice (easyocr/easyocr.py:95-135) and its
+        # script lang-code lists (easyocr/config.py:34-40): thai/
+        # arabic/devanagari/bengali/tamil/cyrillic route to the gen1
+        # ResNet family, latin to the gen2 VGG
         gen1_lang = next(
             (
                 lang
-                for code, lang in (("th", "thai"), ("ar", "arabic"))
-                if code in self.lang_list
+                for codes, lang in GEN1_LANG_ROUTES
+                if any(code in self.lang_list for code in codes)
             ),
             None,
         )

@@ -59,11 +59,59 @@ ARABIC_G1_CHARSET = (  # non-ASCII escaped: combining marks reorder visually
     "\u06ad\u06af\u06ba\u06be\u06c0\u06c1\u06c2\u06c3\u06c6\u06c7\u06c8"
     "\u06cb\u06cc\u06d0\u06d2\u06d3\u06d5"
 )
+DEVANAGARI_G1_CHARSET = (  # 187 chars, reference config.py 'devanagari_g1'
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ abcdefghijklmnopqrs"
+    "tuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.\u0901\u0902\u0903\u0905\u0905"
+    "\u0902\u0905\u0903\u0906\u0907\u0908\u0909\u090a\u090b\u090f"
+    "\u0910\u0911\u0913\u0914\u0915\u0916\u0917\u0918\u0919\u091a"
+    "\u091b\u091c\u091d\u091e\u091f\u0920\u0921\u0922\u0923\u0924"
+    "\u0925\u0926\u0927\u0928\u0929\u092a\u092b\u092c\u092d\u092e"
+    "\u092f\u0930\u0931\u0932\u0933\u0935\u0936\u0937\u0938\u0939"
+    "\u093c\u093e\u093f\u0940\u0941\u0942\u0943\u0945\u0947\u0948"
+    "\u0949\u094b\u094c\u094d\u0950\u0952\u0958\u0959\u095a\u095b"
+    "\u095c\u095d\u095e\u0960\u0964\u0966\u0967\u0968\u0969\u096a"
+    "\u096b\u096c\u096d\u096e\u096f\u0970"
+)
+BENGALI_G1_CHARSET = (  # 169 chars, reference config.py 'bengali_g1'
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ abcdefghijklmnopqrs"
+    "tuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ\u0964\u0981\u0982\u0983\u0985"
+    "\u0986\u0987\u0988\u0989\u098a\u098b\u098c\u098f\u0990\u0993"
+    "\u0994\u0995\u0996\u0997\u0998\u0999\u099a\u099b\u099c\u099d"
+    "\u099e\u099f\u09a0\u09a1\u09a2\u09a3\u09a4\u09a5\u09a6\u09a7"
+    "\u09a8\u09aa\u09ab\u09ac\u09ad\u09ae\u09af\u09b0\u09b2\u09b6"
+    "\u09b7\u09b8\u09b9\u09bc\u09be\u09bf\u09c0\u09c1\u09c2\u09c3"
+    "\u09c7\u09c8\u09cb\u09cc\u09cd\u09ce\u09dc\u09dd\u09df\u09e6"
+    "\u09e7\u09e8\u09e9\u09ea\u09eb\u09ec\u09ed\u09ee\u09ef"
+)
+TAMIL_G1_CHARSET = (  # 126 chars, reference config.py 'tamil_g1'
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ abcdefghijklmnopqrs"
+    "tuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ\u0b83\u0b85\u0b86\u0b87\u0b88"
+    "\u0b89\u0b8a\u0b8e\u0b8f\u0b90\u0b92\u0b93\u0b94\u0b95\u0b99"
+    "\u0b9a\u0b9c\u0b9e\u0b9f\u0ba3\u0ba4\u0ba8\u0ba9\u0baa\u0bae"
+    "\u0baf\u0bb0\u0bb1\u0bb2\u0bb3\u0bb4"
+)
+CYRILLIC_G1_CHARSET = (  # 186 chars, reference config.py 'cyrillic_g1'
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ abcdefghijklmnopqrs"
+    "tuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ\u0401\u0402\u0404\u0406\u0407"
+    "\u0408\u0409\u040a\u040b\u040e\u040f\u0410\u0411\u0412\u0413"
+    "\u0414\u0415\u0416\u0417\u0418\u0419\u041a\u041b\u041c\u041d"
+    "\u041e\u041f\u0420\u0421\u0422\u0423\u0424\u0425\u0426\u0427"
+    "\u0428\u0429\u042a\u042b\u042c\u042d\u042e\u042f\u0430\u0431"
+    "\u0432\u0433\u0434\u0435\u0436\u0437\u0438\u0439\u043a\u043b"
+    "\u043c\u043d\u043e\u043f\u0440\u0441\u0442\u0443\u0444\u0445"
+    "\u0446\u0447\u0448\u0449\u044a\u044b\u044c\u044d\u044e\u044f"
+    "\u0451\u0452\u0454\u0456\u0457\u0458\u0459\u045a\u045b\u045e"
+    "\u045f\u0490\u0491\u04ae\u04af\u04e9"
+)
 GEN1_MODELS = {
     # language key -> (weights filename, charset) — filenames from
     # reference easyocr/config.py recognition_models['gen1']
     "thai": ("thai.pth", THAI_G1_CHARSET),
     "arabic": ("arabic.pth", ARABIC_G1_CHARSET),
+    "devanagari": ("devanagari.pth", DEVANAGARI_G1_CHARSET),
+    "bengali": ("bengali.pth", BENGALI_G1_CHARSET),
+    "tamil": ("tamil.pth", TAMIL_G1_CHARSET),
+    "cyrillic": ("cyrillic.pth", CYRILLIC_G1_CHARSET),
 }
 
 

@@ -228,7 +228,11 @@ def lsh_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
     )
 
 
-CENTROID_MOD = 25  # deterministic codebook: vec_id % 25 == 3 are centroids
+# deterministic codebook: vec_id % 25 == 3 are centroids. The codebook
+# is driver-collected in ivf_topk, which is safe ONLY while it stays
+# O(sqrt n)-ish relative to the corpus — if CENTROID_MOD changes, keep
+# the collect-size story in ivf_topk's docstring in sync.
+CENTROID_MOD = 25
 NPROBE = 2
 
 

@@ -108,20 +108,79 @@ def test_crnn_manifest_remaps_onto_module_params():
 
 
 def test_gen1_manifest_remaps_onto_module_params():
-    """Same torch-free proof for the gen1 ResNet family: thai and
-    arabic share the graph and differ only in head num_class."""
+    """Same torch-free proof for the whole gen1 ResNet family: every
+    released script shares one graph and differs only in head
+    num_class (reference easyocr/config.py:55-143)."""
     from easyocr_spark.ocr.backends import manifests, torch_resnet
 
-    for charset in (torch_resnet.THAI_G1_CHARSET, torch_resnet.ARABIC_G1_CHARSET):
+    # charset lengths pinned to reference easyocr/config.py gen1 entries
+    pinned = {
+        "thai": 176,
+        "arabic": 184,
+        "devanagari": 187,
+        "bengali": 169,
+        "tamil": 126,
+        "cyrillic": 186,
+    }
+    assert set(torch_resnet.GEN1_MODELS) == set(pinned)
+    for lang, (filename, charset) in torch_resnet.GEN1_MODELS.items():
+        assert filename == f"{lang}.pth"
+        assert len(charset) == pinned[lang], lang
         n = len(charset) + 1
         _assert_remap_bijection(
             manifests.gen1_checkpoint_manifest(n),
             torch_resnet.remap_key,
             torch_resnet.expected_params(n),
         )
-    # charset lengths pinned to reference easyocr/config.py gen1 entries
-    assert len(torch_resnet.THAI_G1_CHARSET) == 176
-    assert len(torch_resnet.ARABIC_G1_CHARSET) == 184
+
+
+def test_gen1_charsets_bytematch_reference_config():
+    """Byte-exact charset parity with the PUBLIC reference config —
+    combining marks and separator prefixes included (editors silently
+    reorder them, so this guards the literals). Skipped when the
+    reference checkout isn't present."""
+    import os
+
+    cfg = "/root/reference/easyocr/config.py"
+    if not os.path.exists(cfg):
+        pytest.skip("reference checkout not available")
+    from easyocr_spark.ocr.backends import torch_resnet
+
+    ns = {"__file__": cfg}
+    exec(compile(open(cfg).read(), cfg, "exec"), ns)
+    gen1 = ns["recognition_models"]["gen1"]
+    for lang, (_, charset) in torch_resnet.GEN1_MODELS.items():
+        assert charset == gen1[f"{lang}_g1"]["characters"], lang
+
+
+def test_gen1_lang_routing_table():
+    """Every reference script lang-code routes to the right gen1 model;
+    latin codes fall through to gen2 (torch-free table check)."""
+    from easyocr_spark.ocr.backends import torch_reader, torch_resnet
+
+    def route(lang_list):
+        return next(
+            (
+                lang
+                for codes, lang in torch_reader.GEN1_LANG_ROUTES
+                if any(c in lang_list for c in codes)
+            ),
+            None,
+        )
+
+    assert route(["th"]) == "thai"
+    assert route(["fa"]) == "arabic"
+    assert route(["hi", "en"]) == "devanagari"
+    assert route(["mai"]) == "devanagari"
+    assert route(["bn"]) == "bengali"
+    assert route(["ta"]) == "tamil"
+    assert route(["rs_cyrillic"]) == "cyrillic"
+    assert route(["tjk"]) == "cyrillic"
+    assert route(["en"]) is None
+    assert route(["de", "fr"]) is None
+    # every routed key lands on a real model entry
+    for _, lang in torch_reader.GEN1_LANG_ROUTES:
+        assert lang in torch_resnet.GEN1_MODELS
 
 
 def test_normalize_pad_shape_and_range():
