@@ -145,6 +145,23 @@ def q_detect_curved_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detect_smooth_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-aliased rotated-text detection: smooth-class media (gray-
+    edge constant-slope render, no integer staircase) must come out of
+    detect() as free quads whose SUB-PIXEL tops — recovered by the
+    full-res ink-weighted refinement reading the blend gray as a
+    half-pixel phase — match the renderer-geometry oracle in
+    quarter-pixels, margins included."""
+    a = "CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    refs = _distinct_media(spark, sf_dir).filter(
+        F.expr(corpus.duckdb_smooth_pred(a, b))
+    )
+    return refs.mapInPandas(
+        udfs.detect_smooth_batches, schema=udfs.DETECT_SMOOTH_SCHEMA
+    )
+
+
 def q_detect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """poly=True detection (the getPoly_core analogue): slanted words
     come out as 4L-point staircase outlines tracing each glyph cell's
@@ -501,6 +518,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "detect_box_geometry": q_detect_box_geometry,
         "detect_slanted_geometry": q_detect_slanted_geometry,
         "detect_curved_geometry": q_detect_curved_geometry,
+        "detect_smooth_geometry": q_detect_smooth_geometry,
         "detect_polygons": q_detect_polygons,
         "detect_polygons_curved": q_detect_polygons_curved,
         "ocr_results": q_ocr_results,
@@ -579,6 +597,9 @@ def oracle_sql() -> dict[str, str]:
             DUCK_DISTINCT_REFS
         ),
         "detect_curved_geometry": corpus.duckdb_curved_geometry_sql(
+            DUCK_DISTINCT_REFS
+        ),
+        "detect_smooth_geometry": corpus.duckdb_smooth_geometry_sql(
             DUCK_DISTINCT_REFS
         ),
         "detect_polygons": corpus.duckdb_poly_geometry_sql(DUCK_DISTINCT_REFS),

@@ -45,8 +45,9 @@ from .render import render_text, render_tiny
 # class; v5: per-script glyph atlases (chinese-tagged media renders with
 # the cjk atlas, so language -> model routing is load-bearing);
 # v6: color class split into rgb/rgba/palette PNG subtypes;
-# v7: curved (variable-slope staircase) class
-MEDIA_SPEC_VERSION = 7
+# v7: curved (variable-slope staircase) class;
+# v8: smooth (anti-aliased constant-slope, gray-edge) class
+MEDIA_SPEC_VERSION = 8
 
 # staircase slant: glyph g of a slanted word drops g * SLANT_DY base px
 SLANT_DY = 2
@@ -118,6 +119,21 @@ def media_spec(media_ref: str) -> dict:
         and n_lines == 1
         and (a + 5 * b) % 6 == 4
     )
+    # smooth class (residue 5 — disjoint from slanted/curved): glyph
+    # cell g drops g*(2s + 1/2) SCALED px — constant slope whose odd
+    # cells sit at half-pixel phase, rendered with anti-aliased
+    # gray-128 edges (render.render_text_smooth). No longer an integer
+    # staircase: detection must read the blend gray as a sub-pixel
+    # phase (ink-weighted tops) and recognition must invert the blend.
+    # Color refs are excluded ((a+b)%5 != 1): tinted ink would break
+    # the exact 0/128/255 blend arithmetic the deblend inverts.
+    smooth = (
+        (not tiny)
+        and (not low_contrast)
+        and n_lines == 1
+        and (a + 5 * b) % 6 == 5
+        and (a + b) % 5 != 1
+    )
     return {
         "tiny": tiny,
         "low_contrast": low_contrast,
@@ -132,6 +148,7 @@ def media_spec(media_ref: str) -> dict:
         "color_fmt": ["rgb", "rgba", "palette"][(a + 2 * b) % 3],
         "slant_dy": SLANT_DY if slanted else 0,
         "curve": curved,
+        "smooth": smooth,
         "scale": 2 + 2 * ((a + b) % 2),
         "lines": lines,
         "lang": LANGS[a % 3],
@@ -163,6 +180,13 @@ def render_media(media_ref: str) -> bytes:
     spec = media_spec(media_ref)
     if spec["tiny"]:
         img = render_tiny()
+    elif spec["smooth"]:
+        from .fonts import MODEL_ATLASES
+        from .render import render_text_smooth
+
+        img = render_text_smooth(
+            spec["lines"], spec["scale"], atlas=MODEL_ATLASES[spec["model"]]
+        )
     else:
         from .fonts import MODEL_ATLASES
 
@@ -371,6 +395,17 @@ def duckdb_curve_pred(a: str, b: str) -> str:
     )
 
 
+def duckdb_smooth_pred(a: str, b: str) -> str:
+    """SQL predicate for the SMOOTH (anti-aliased constant-slope)
+    class — residue (a + 5b) % 6 == 5, single-line, full-contrast,
+    non-color (tinted ink would break the exact gray-edge blend)."""
+    return (
+        f"((7*({a}) + ({b})) % 23 <> 0 AND (({a}) + ({b})) % 7 <> 0 "
+        f"AND (({a}) + 2*({b})) % 2 = 0 AND (({a}) + 5*({b})) % 6 = 5 "
+        f"AND (({a}) + ({b})) % 5 <> 1)"
+    )
+
+
 def _duckdb_staircase_geometry_sql(refs_sql: str, pred_fn, drop: str) -> str:
     """Expected FREE-quad corners per staircase-class media_ref in
     reading order, in deci-pixels (x10, rounded): (media_ref, box_idx,
@@ -447,6 +482,70 @@ def duckdb_curved_geometry_sql(refs_sql: str) -> str:
     )
 
 
+def duckdb_smooth_geometry_sql(refs_sql: str) -> str:
+    """Expected FREE-quad corners per SMOOTH-class media_ref in reading
+    order, in QUARTER-pixels (x4, rounded): (media_ref, box_idx,
+    x0q..y3q). The smooth drop lives on a half-pixel grid (D(g) =
+    g*(2s + 1/2) SCALED px — in quarter-px an exact integer,
+    render.smooth_drop_quarters), so quarter-px output keeps the
+    comparison integer-exact where deci-px would land on .5 rounding
+    ties. Mirrors the full chain: anti-aliased render -> full-res
+    ink-weighted refinement (detection._refine_smooth_quads: sub-pixel
+    cell tops from the blend gray) -> group_text_box free-path margin
+    expansion with its float arithmetic reproduced verbatim (margins
+    are 0.1*h doubles; rounded products never land on .5)."""
+    a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    v = _vocab_sql()
+    return f"""
+    WITH refs AS (
+      SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
+      WHERE {duckdb_smooth_pred(a, b)}
+    ),
+    geo AS (
+      SELECT media_ref, a, b, (2 + 2*((a + b) % 2)) AS s,
+             ((a + 3*b) % 3 + 1) AS n_w
+      FROM refs
+    ),
+    words AS (
+      SELECT media_ref, s, CAST(j AS BIGINT) AS box_idx,
+             length(list_extract({v},
+                 CAST((a*31 + b*17 + j*7) % 64 + 1 AS INT))) AS len_j,
+             (6 * length(list_extract({v},
+                 CAST((a*31 + b*17 + j*7) % 64 + 1 AS INT))) - 1) AS w_ink,
+             CAST(list_sum(list_prepend(0::BIGINT,
+               list_transform(range(0, CAST(j AS BIGINT)), k ->
+                 6 * length(list_extract({v},
+                   CAST((a*31 + b*17 + k*7) % 64 + 1 AS INT))) - 1 + 9)))
+               AS BIGINT) AS x_off
+      FROM geo, UNNEST(range(n_w)) AS t(j)
+    ),
+    pre AS (
+      SELECT media_ref, box_idx,
+             ((4 + x_off) * s)::DOUBLE AS xl,
+             ((4 + x_off + w_ink) * s)::DOUBLE AS xr,
+             (4 * s)::DOUBLE AS t0,
+             -- smooth drop in quarter scaled px: (len-1)*(8s+2), exact
+             (((len_j - 1) * (8*s + 2))::DOUBLE / 4) AS dd,
+             (7 * s)::DOUBLE AS h,
+             0.1 * (7 * s)::DOUBLE AS m,
+             CASE WHEN ((len_j - 1) * (8*s + 2)) > 4 * 7 * s
+                  THEN 1 ELSE -1 END AS sgn
+      FROM words
+    )
+    SELECT media_ref, CAST(box_idx AS INT) AS box_idx,
+           CAST(round((xl - m) * 4) AS BIGINT) AS x0q,
+           CAST(round((t0 - m) * 4) AS BIGINT) AS y0q,
+           CAST(round((xr + m) * 4) AS BIGINT) AS x1q,
+           CAST(round((t0 + dd + sgn * m) * 4) AS BIGINT) AS y1q,
+           CAST(round((xr + m) * 4) AS BIGINT) AS x2q,
+           CAST(round((t0 + dd + h + m) * 4) AS BIGINT) AS y2q,
+           CAST(round((xl - m) * 4) AS BIGINT) AS x3q,
+           CAST(round((t0 + h - sgn * m) * 4) AS BIGINT) AS y3q
+    FROM pre
+    """
+
+
 def duckdb_image_features_sql(refs_sql: str) -> str:
     """Oracle for the image_features kernel: (media_ref, width, height,
     mean_luma, ink_ratio_milli). Ink pixel counts come from the glyph
@@ -454,12 +553,36 @@ def duckdb_image_features_sql(refs_sql: str) -> str:
     are deterministic, so even pixel statistics are formula-checkable);
     mean = (g_ink*ink + bg*(total-ink)) // total with integer floor
     (exact: float64 mean of a uint8 image cannot round across an
-    integer boundary at these image sizes)."""
+    integer boundary at these image sizes).
+
+    SMOOTH-class refs carry anti-aliased gray-128 blend pixels: each
+    vertical ink run of an ODD glyph cell loses one full-ink pixel
+    column-wise and gains two gray-128 pixels (the blend is
+    darkness-preserving up to the +1 integer-midpoint rounding). The
+    per-word odd-cell column-run counts are embedded as literals
+    exactly like the popcounts, so the pixel statistics stay
+    formula-exact for the blended render too."""
     from .fonts import MODEL_ATLASES
 
     def word_inks(model: str) -> str:
         atlas = MODEL_ATLASES[model]
         vals = [sum(int(atlas[c].sum()) for c in w) for w in VOCAB]
+        return "[" + ", ".join(str(v) for v in vals) + "]"
+
+    def _colruns(glyph) -> int:
+        # maximal vertical ink runs summed over the glyph's columns
+        total = 0
+        for c in range(glyph.shape[1]):
+            col = glyph[:, c]
+            total += int(((col[1:] > col[:-1]).sum()) + int(col[0] > 0))
+        return total
+
+    def word_runs_odd(model: str) -> str:
+        atlas = MODEL_ATLASES[model]
+        vals = [
+            sum(_colruns(atlas[ch]) for g, ch in enumerate(w) if g % 2 == 1)
+            for w in VOCAB
+        ]
         return "[" + ", ".join(str(v) for v in vals) + "]"
 
     a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
@@ -487,18 +610,31 @@ def duckdb_image_features_sql(refs_sql: str) -> str:
                   ELSE {color_grays[2]} END
            ELSE 0 END"""
     bg = f"CASE WHEN ({a} + {b}) % 7 = 0 AND (7*({a}) + ({b})) % 23 <> 0 THEN 220 ELSE 255 END"
+    runs_lists = {m: word_runs_odd(m) for m in ("latin", "cjk")}
+    # blend-run pixel budget: smooth refs only; single line (L = 0),
+    # scaled by s once (each base column repeats s times; run count per
+    # base column is scale-invariant)
+    blend_runs = f"""
+      CASE WHEN {duckdb_smooth_pred(a, b)} THEN
+        (2 + 2*(({a} + {b}) % 2)) *
+        CAST(list_sum(list_transform(range(0, (({a}) + 3*({b})) % 3 + 1), j ->
+          list_extract(CASE WHEN ({a}) % 3 = 1 THEN {runs_lists['cjk']}
+                            ELSE {runs_lists['latin']} END,
+            CAST((({a})*31 + ({b})*17 + j*7) % 64 + 1 AS INT)))) AS BIGINT)
+      ELSE 0 END"""
     return f"""
     WITH refs AS (SELECT media_ref FROM ({refs_sql})),
     geo AS (
       SELECT media_ref, CAST({wexpr} AS BIGINT) * CAST({hexpr} AS BIGINT) AS total,
-             {ink_px} AS ink, {g_ink} AS g, {bg} AS bg,
+             {ink_px} AS ink, {g_ink} AS g, {bg} AS bg, {blend_runs} AS r,
              {wexpr} AS width, {hexpr} AS height
       FROM refs
     )
     SELECT media_ref, width, height,
-           CAST((g * ink + bg * (total - ink)) // total AS INT) AS mean_luma,
-           CAST((CASE WHEN g < 128 THEN ink ELSE 0 END) * 1000 // total AS INT)
-             AS ink_ratio_milli
+           CAST((g * (ink - r) + 128 * 2 * r + bg * (total - ink - r))
+                // total AS INT) AS mean_luma,
+           CAST((CASE WHEN g < 128 THEN ink - r ELSE 0 END) * 1000 // total
+                AS INT) AS ink_ratio_milli
     FROM geo
     """
 
@@ -579,6 +715,7 @@ def duckdb_box_geometry_sql(refs_sql: str) -> str:
       WHERE (7*{a} + {b}) % 23 <> 0
         AND NOT {duckdb_slant_pred(a, b)}
         AND NOT {duckdb_curve_pred(a, b)}
+        AND NOT {duckdb_smooth_pred(a, b)}
     ),
     geo AS (
       SELECT media_ref, a, b,
@@ -649,6 +786,11 @@ def duckdb_dims_exprs(ref_col: str) -> tuple[str, str]:
         f"THEN CAST((8 + 7 + ({max_len} - 1) * {SLANT_DY}) * {scale} AS INT) "
         f"WHEN {duckdb_curve_pred(a, b)} "
         f"THEN CAST((8 + 7 + ({max_len} - 1) + {max_len} // 2) * {scale} AS INT) "
+        # smooth: 15s upright + ceil of the longest word's smooth drop,
+        # ceil(D(lmax-1)) = 2s*(lmax-1) + lmax//2 scaled px
+        f"WHEN {duckdb_smooth_pred(a, b)} "
+        f"THEN CAST(15 * {scale} + 2 * {scale} * ({max_len} - 1) "
+        f"+ {max_len} // 2 AS INT) "
         f"ELSE CAST((8 + {n_lines} * 7 + ({n_lines} - 1) * 4) * {scale} AS INT) END"
     )
     return width, height

@@ -54,6 +54,15 @@ def glyph_dy(g: int, slant_dy: int, curve: bool) -> int:
     return curve_off(g) if curve else g * slant_dy
 
 
+def smooth_drop_quarters(g: int, scale: int) -> int:
+    """Drop of glyph cell g in the SMOOTH class, in QUARTER scaled px:
+    D(g) = g * (2*scale + 1/2) scaled px — a constant slope with a
+    HALF-PIXEL phase on odd cells, rendered with anti-aliased gray-edge
+    blends (no longer an integer staircase). Returned x4 so the value
+    is always an exact integer."""
+    return g * (8 * scale + 2)
+
+
 def line_height(words: list[str], slant_dy: int, curve: bool = False) -> int:
     """Ink height of a rendered line: GLYPH_H, plus the staircase drop
     of the line's longest word when slanted or curved."""
@@ -109,6 +118,65 @@ def render_text(
     if scale != 1:
         img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
     return img
+
+
+def render_text_smooth(
+    lines: list[list[str]],
+    scale: int,
+    atlas: dict | None = None,
+) -> np.ndarray:
+    """Render the SMOOTH anti-aliased constant-slope class: the line is
+    rendered upright at full scale, then each word's glyph cell g is
+    shifted DOWN by D(g) = g*(2*scale + 1/2) scaled px — the integer
+    part as a rigid shift, the half-pixel part as a gray-edge blend
+    (each vertical ink run's first and last row become gray 128, the
+    exact integer midpoint of ink 0 and bg 255). Unlike the staircase
+    classes, cell tops no longer sit on integer rows: recovering the
+    geometry requires sub-pixel ink weighting (detection reads the
+    blend gray as the fractional phase), and recovering the pixels
+    requires inverting the blend (reader.deshear_crop's deblend).
+    Single-line, full-contrast only (the class gate in corpus.media_spec
+    guarantees this)."""
+    assert len(lines) == 1, "smooth class is single-line by construction"
+    words = lines[0]
+    atlas = atlas or ATLAS
+    s = scale
+    base_h = 2 * MARGIN + GLYPH_H
+    upright = render_text(lines, scale=s, low_contrast=False, atlas=atlas)
+    assert upright.shape[0] == base_h * s
+    extra = max(
+        (smooth_drop_quarters(len(w) - 1, s) + 3) // 4 for w in words
+    )
+    out = np.full((base_h * s + extra, upright.shape[1]), BG, dtype=np.uint8)
+    out[: upright.shape[0]] = upright
+    y0 = MARGIN * s
+    x = MARGIN
+    for word in words:
+        for g_idx in range(len(word)):
+            dq = smooth_drop_quarters(g_idx, s)
+            d, half = dq // 4, (dq % 4) != 0
+            if d == 0 and not half:
+                continue  # cell 0: already in place
+            cols = slice((x + g_idx * CELL_W) * s, (x + g_idx * CELL_W + GLYPH_W) * s)
+            block = upright[y0 : y0 + GLYPH_H * s, cols].astype(np.int16)
+            out[y0 : y0 + GLYPH_H * s, cols] = BG  # clear the upright copy
+            if not half:
+                out[y0 + d : y0 + d + GLYPH_H * s, cols] = block.astype(np.uint8)
+            else:
+                # 2-tap half blend: row i of the blended column is the
+                # integer midpoint of rows i-1 and i (bg-padded), so a
+                # vertical ink run of length L becomes L-1 full-ink rows
+                # bracketed by two gray-128 rows — darkness-preserving
+                padded = np.full(
+                    (GLYPH_H * s + 1, block.shape[1]), BG, dtype=np.int16
+                )
+                blend = padded.copy()
+                padded[:-1] = block
+                blend[1:] = block
+                mixed = ((padded + blend + 1) // 2).astype(np.uint8)
+                out[y0 + d : y0 + d + GLYPH_H * s + 1, cols] = mixed
+        x += len(word) * CELL_W - 1 + WORD_GAP + 1
+    return out
 
 
 def render_tiny() -> np.ndarray:

@@ -335,6 +335,74 @@ def _slanted_quad(sub: np.ndarray, x0: int, y0: int) -> np.ndarray | None:
     return _slanted_quad_runs(sub, starts, ends, x0, y0)
 
 
+SMOOTH_BLEND = 128  # the half-pixel anti-alias gray (render_text_smooth)
+
+
+def _refine_smooth_quads(
+    gray: np.ndarray, boxes: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Full-resolution ink-weighted refinement for ANTI-ALIASED
+    constant-slope (smooth) words — the getPoly_core sub-pixel
+    refinement role (reference easyocr/craft_utils.py:87-231) for text
+    whose cell tops no longer sit on integer rows.
+
+    The half-res score maps quantize away the gray-edge blend, so each
+    vertical-edged slanted quad whose image region carries blend pixels
+    (gray == 128, unique to the smooth render among all corpus inks) is
+    re-measured on the full-res image: glyph-cell runs from ink
+    columns; each cell's top = integer first ink row + the blend PHASE
+    read from the gray value (+0.5 when the darkest pixel of that row
+    is a blend rather than full ink) — ink-weighted column tops instead
+    of exact cell boundaries. Refined quad: [[xl, t_first], [xr,
+    t_last], [xr, t_last+h], [xl, t_first+h]] with sub-pixel tops and
+    h = the first (unshifted) cell's ink height."""
+    h_img, w_img = gray.shape
+    out: list[np.ndarray] = []
+    for q in boxes:
+        qa = np.asarray(q, dtype=np.float64)
+        vertical_edged = (
+            abs(qa[0][0] - qa[3][0]) < 1e-6 and abs(qa[1][0] - qa[2][0]) < 1e-6
+        )
+        slanted = qa[0][1] != qa[1][1]
+        if not (vertical_edged and slanted):
+            out.append(q)
+            continue
+        x0 = max(0, int(np.floor(qa[:, 0].min())))
+        x1 = min(w_img, int(np.ceil(qa[:, 0].max())))
+        y0 = max(0, int(np.floor(qa[:, 1].min())))
+        y1 = min(h_img, int(np.ceil(qa[:, 1].max())))
+        crop = gray[y0:y1, x0:x1]
+        if crop.size == 0 or not (crop == SMOOTH_BLEND).any():
+            out.append(q)
+            continue
+        mask = crop <= 250
+        starts, ends = _column_runs(mask)
+        if len(starts) < 2:
+            out.append(q)
+            continue
+
+        def sub_top(s: int, e: int) -> tuple[float, np.ndarray]:
+            rows = np.nonzero(mask[:, s:e].any(axis=1))[0]
+            t = int(rows[0])
+            frac = 0.5 if int(crop[t, s:e].min()) == SMOOTH_BLEND else 0.0
+            return t + frac, rows
+
+        t_first, rows_f = sub_top(int(starts[0]), int(ends[0]))
+        t_last, _ = sub_top(int(starts[-1]), int(ends[-1]))
+        hh = float(int(rows_f[-1]) - int(rows_f[0]) + 1)
+        xl = float(x0 + starts[0])
+        xr = float(x0 + ends[-1])
+        ya = y0 + t_first
+        yb = y0 + t_last
+        out.append(
+            np.array(
+                [[xl, ya], [xr, yb], [xr, yb + hh], [xl, ya + hh]],
+                dtype=np.float64,
+            )
+        )
+    return out
+
+
 def adjust_result_coordinates(
     boxes: list[np.ndarray], ratio: float, ratio_net: int = RATIO_NET
 ) -> list[np.ndarray]:
@@ -366,7 +434,7 @@ def detect(
         boxes, counts = get_det_boxes(region, link, estimate_num_chars=True)
         order = sorted(range(len(boxes)), key=lambda i: abs(optimal_num_chars - counts[i]))
         boxes = [boxes[i] for i in order]
-    return adjust_result_coordinates(boxes, ratio)
+    return _refine_smooth_quads(gray, adjust_result_coordinates(boxes, ratio))
 
 
 def detect_polys(

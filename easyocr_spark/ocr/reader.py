@@ -120,6 +120,8 @@ def deshear_crop(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
     crop = gray[y0:y1, x0:x1]
     if crop.size == 0:
         return crop
+    if (crop == SMOOTH_BLEND).any():
+        return _deshear_smooth(crop)
     darkness = (255.0 - crop.astype(np.float32)) / 255.0
     binary = darkness > INK_DARKNESS
     col_any = binary.any(axis=0)
@@ -139,6 +141,54 @@ def deshear_crop(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
     out = np.full((out_h, crop.shape[1]), crop.max(), dtype=gray.dtype)
     for (s, e), top, hh in zip(zip(starts, ends), tops, heights):
         out[:hh, s:e] = crop[top : top + hh, s:e]
+    return out
+
+
+SMOOTH_BLEND = 128  # half-pixel anti-alias gray (render_text_smooth)
+
+
+def _deshear_smooth(crop: np.ndarray) -> np.ndarray:
+    """Exact unshear + DEBLEND for the anti-aliased constant-slope
+    (smooth) class: glyph cells carry a half-pixel vertical phase
+    rendered as a 2-tap gray-edge blend S(y) = (O(y) + O(y-1)) / 2
+    over the binary cell O. Per cell run: the integer shift comes from
+    the run's first ink row; the phase from whether that row's darkest
+    pixel is a blend (128) or full ink; half-phase cells are inverted
+    by the exact greedy deconvolution O(y) = [2*S(y) - O(y-1) > 1/2]
+    top-down (binary rounding resets the uint8 quantization error each
+    row, so the recursion is stable). The result is the byte-exact
+    upright render the template recognizer expects — the reference
+    warps such boxes approximately (easyocr/utils.py:428-448); the
+    stand-in's gray-edge contract makes the inverse exact."""
+    mask = crop <= 250
+    col_any = mask.any(axis=0)
+    if not col_any.any():
+        return crop
+    padded = np.concatenate(([False], col_any, [False]))
+    d = np.diff(padded.astype(np.int8))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    cells = []
+    for s, e in zip(starts, ends):
+        rows = np.nonzero(mask[:, s:e].any(axis=1))[0]
+        t = int(rows[0])
+        half = int(crop[t, s:e].min()) == SMOOTH_BLEND
+        # ink height of the unblended cell (blend adds one row)
+        hh = int(rows[-1]) - t + 1 - (1 if half else 0)
+        cells.append((int(s), int(e), t, half, hh))
+    out_h = max(c[4] for c in cells)
+    out = np.full((out_h, crop.shape[1]), 255, dtype=crop.dtype)
+    for s, e, t, half, hh in cells:
+        if not half:
+            out[:hh, s:e] = crop[t : t + hh, s:e]
+            continue
+        n = e - s
+        o_prev = np.zeros(n, dtype=np.float64)
+        for i in range(hh):
+            sv = (255.0 - crop[t + i, s:e].astype(np.float64)) / 255.0
+            o_cur = (2.0 * sv - o_prev) > 0.5
+            out[i, s:e] = np.where(o_cur, 0, 255)
+            o_prev = o_cur.astype(np.float64)
     return out
 
 

@@ -175,6 +175,36 @@ DETECT_FREE_SCHEMA = (
 )
 
 
+def detect_smooth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Free-quad detection for the SMOOTH (anti-aliased constant-slope)
+    class in QUARTER-pixels (x4, rounded to int): the smooth drop lives
+    on a half-pixel grid, so quarter-px output stays integer-exact
+    where deci-px would land on .5 rounding ties. Same reading-order
+    contract as detect_free_batches."""
+    reader = get_reader()
+    for pdf in it:
+        rows = []
+        for ref, data in zip(pdf["media_ref"], pdf["content"]):
+            img = decode_gray(bytes(data))
+            _, free = reader.detect(img)
+            for i, quad in enumerate(free):
+                flat = [int(round(c * 4)) for p in quad for c in p]
+                rows.append((ref, i, *flat))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_ref", "box_idx",
+                "x0q", "y0q", "x1q", "y1q", "x2q", "y2q", "x3q", "y3q",
+            ],
+        )
+
+
+DETECT_SMOOTH_SCHEMA = (
+    "media_ref string, box_idx int, x0q long, y0q long, x1q long, y1q long, "
+    "x2q long, y2q long, x3q long, y3q long"
+)
+
+
 def detect_poly_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """poly=True detection stage (the getPoly_core analogue): one row
     per polygon POINT — (media_ref, box_idx, pt_idx, x, y), integer

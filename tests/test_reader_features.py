@@ -302,3 +302,66 @@ def test_curved_class_end_to_end():
     base = tops[0]
     expect = [base + 2 * curve_off(g) for g in range(6)]  # scale 2
     assert tops.tolist() == expect
+
+
+def test_smooth_class_end_to_end():
+    """Smooth (anti-aliased constant-slope) media: gray-edge blends on a
+    half-pixel grid, recovered byte-exact through the full-res
+    ink-weighted refinement + deblending deshear."""
+    refs = [
+        f"m_{a}_{b}"
+        for a in range(60)
+        for b in range(3)
+        if corpus.media_spec(f"m_{a}_{b}")["smooth"]
+    ][:5]
+    assert refs, "smooth class must be populated"
+    for ref in refs:
+        spec = corpus.media_spec(ref)
+        lang = spec["lang"]
+        r = StandInReader(
+            lang_list=["chinese"] if spec["model"] == "cjk" else [lang]
+        )
+        img = png.decode_gray(corpus.render_media(ref))
+        # the render really is anti-aliased (the class differentiator)
+        assert (img == 128).any(), ref
+        got = r.readtext_text(img, rtl=(lang == "arabic"))
+        assert got == corpus.ground_truth_text(ref), ref
+
+
+def test_smooth_refinement_subpixel_quad():
+    """The refined quad's last-cell top must carry the HALF-PIXEL phase
+    read from the blend gray — information an integer staircase cannot
+    express — and the margins must follow group_text_box's float rule."""
+    img = render.render_text_smooth([["Jazz"]], 2)
+    r = StandInReader()
+    horizontal, free = r.detect(img)
+    assert horizontal == [] and len(free) == 1
+    q = np.asarray(free[0])
+    s = 2
+    t0, h = 4.0 * s, 7.0 * s
+    D = (4 - 1) * (2 * s + 0.5)  # 13.5 — half-pixel phase (odd cell 3)
+    m = 0.1 * h
+    assert q[0][1] == t0 - m
+    assert q[1][1] == t0 + D + (1 if D > h else -1) * m
+    assert q[1][1] != int(q[1][1])  # genuinely sub-pixel
+
+
+def test_smooth_deblend_reconstructs_upright_pixels():
+    """deshear_crop must invert the 2-tap gray blend exactly: the
+    recovered crop equals the upright render's tight ink rows."""
+    from easyocr_spark.ocr.reader import deshear_crop
+
+    word = "SHUFFLE"
+    sheared = render.render_text_smooth([[word]], 2)
+    upright = render.render_text([[word]], 2)
+    r = StandInReader()
+    _, free = r.detect(sheared)
+    assert len(free) == 1
+    crop = deshear_crop(sheared, np.asarray(free[0]))
+    # compare against the upright render's tight ink band
+    ys, xs = np.nonzero(upright == 0)
+    want = upright[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    gys, gxs = np.nonzero(crop == 0)
+    got = crop[gys.min() : gys.max() + 1, gxs.min() : gxs.max() + 1]
+    assert got.shape == want.shape
+    assert (got == want).all()
