@@ -105,7 +105,13 @@ def brute_force_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
     skinny rows, not n x |Q|. An exact global window finishes on that
     bounded remainder. Output is identical to the single-window variant
     (``brute_force_topk_window``, kept as the oracle twin) because the
-    local sort uses the same (cos desc, neighbor_id asc) total order."""
+    local sort uses the same (cos desc, neighbor_id asc) total order.
+
+    Scale trade, measured: at bench scale (2k vectors, 200k scored
+    rows) the combiner's extra Arrow boundary costs ~1s and the window
+    twin is faster; the combiner wins as soon as per-query candidate
+    counts outgrow executor memory for a single window partition —
+    which is the regime this operator exists for."""
     scored = _scored_pairs(embeddings)
 
     def partial_topk(batches):
