@@ -398,6 +398,14 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.asof_prior_event(tables.read_table(spark, sf_dir, "events"))
 
 
+def q_events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count sketch: per event
+    type, the HLL estimate (31-bit integer mix, mod-37 trailing-zero
+    rank, scaled-integer estimator — bit-identical in DuckDB) next to
+    the exact distinct count."""
+    return events.distinct_users_hll(tables.read_table(spark, sf_dir, "events"))
+
+
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_windowed: a real streaming
     query (file source, watermark, AvailableNow trigger, memory sink)
@@ -553,6 +561,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_windowed": q_events_windowed,
         "events_top_types": q_events_top_types,
         "events_asof": q_events_asof,
+        "events_distinct_hll": q_events_distinct_hll,
         "streaming_windowed": q_streaming_windowed,
         "streaming_windowed_append": q_streaming_windowed_append,
         "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
@@ -669,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": events.duckdb_windowed_sql(),
         "events_top_types": events.duckdb_top_event_types_sql(),
         "events_asof": events.duckdb_asof_sql(),
+        "events_distinct_hll": events.duckdb_distinct_hll_sql(),
         "streaming_windowed": events.duckdb_windowed_sql(),
         "streaming_windowed_append": events.duckdb_windowed_append_sql(),
         "streaming_sessionize_stateful": events.duckdb_sessionize_closed_sql(),

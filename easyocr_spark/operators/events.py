@@ -202,3 +202,173 @@ def duckdb_top_event_types_sql(k: int = 3) -> str:
           FROM c)
     SELECT user_id, event_type, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------ HLL distinct sketch
+# Engine-portable HyperLogLog: the classic mergeable distinct-count
+# sketch (Flajolet et al. 2007; Spark's own approx_count_distinct is the
+# HLL++ variant — reimplemented here portably because its registers are
+# JVM-internal and could never be oracle-matched). EVERYTHING is integer
+# arithmetic: a 31-bit multiplicative mix both engines compute
+# identically, trailing-zero rank via the mod-37 de Bruijn trick, the
+# register fold as sums of exact powers of two scaled by 2^24, and the
+# bias/linear-counting constants embedded as integer literals (ln table
+# scaled by 2^20) — so the ESTIMATE, not just the registers, is
+# bit-identical across Spark and DuckDB. At 100 TB the shape is the
+# point: per-(group, bucket) max is map-side combinable, the final fold
+# touches m=512 rows per group, and sketches merge across partitions /
+# days by register-max — the standard distinct-count rollup.
+HLL_P = 9
+HLL_M = 1 << HLL_P                    # 512 registers
+HLL_W_BITS = 31 - HLL_P               # 22 payload bits
+HLL_ALPHA_MICRO = 719783              # round(1e6 * 0.7213/(1 + 1.079/512))
+HLL_LC_THRESHOLD = 5 * HLL_M // 2     # linear-counting regime bound
+_HLL_LN_SCALED = [0] + [
+    round(__import__("math").log(v) * (1 << 20)) for v in range(1, HLL_M + 1)
+]
+
+
+def _spark_xor(a: str, b: str) -> str:
+    return f"({a} ^ {b})"
+
+
+def _duck_xor(a: str, b: str) -> str:
+    return f"xor({a}, {b})"
+
+
+def _hll_mix_sql(col: str, xor) -> str:
+    """SQL for the 31-bit integer mix (LCG + xorshift, applied twice);
+    ``xor`` formats the dialect's XOR (Spark ``^``, DuckDB ``xor()``) —
+    everything else is dialect-common integer arithmetic."""
+    h1 = f"((({col}) * 1103515245 + 12345) % 2147483648)"
+    h2 = xor(h1, f"({h1} >> 15)")
+    h3 = f"((({h2}) * 1103515245 + 54321) % 2147483648)"
+    return xor(h3, f"({h3} >> 13)")
+
+
+def _hll_tz_case(lsb: str) -> str:
+    """Trailing-zero count of a power of two via the mod-37 perfect
+    hash (2^k % 37 is distinct for k < 36) — branch table shared by
+    both dialects."""
+    whens = " ".join(
+        f"WHEN {pow(2, k, 37)} THEN {k}" for k in range(HLL_W_BITS)
+    )
+    return f"(CASE (({lsb}) % 37) {whens} ELSE 0 END)"
+
+
+def _hll_rho_sql(w: str) -> str:
+    lsb = f"(({w}) - (({w}) & (({w}) - 1)))"
+    return f"(CASE WHEN ({w}) = 0 THEN {HLL_W_BITS + 1} ELSE {_hll_tz_case(lsb)} + 1 END)"
+
+
+def distinct_users_hll(events: DataFrame) -> DataFrame:
+    """(event_type, est_distinct, exact_distinct): HLL distinct user
+    estimate per event type next to the exact count (the exact count is
+    part of the contract so the sketch's error is auditable in the
+    oracle diff, and it exercises the expensive path HLL replaces).
+
+    Two shuffles: (event_type, bucket) register max — partial-aggregated
+    map-side, state bounded at m rows per group — then the per-group
+    integer fold. The estimator is plain HLL with the standard
+    small-range linear-counting correction, all in scaled-integer
+    arithmetic (see module constants) so DuckDB reproduces it exactly."""
+    mix = _hll_mix_sql("user_id", _spark_xor)
+    h = F.expr(mix)
+    rho = F.expr(_hll_rho_sql(f"(({mix}) div {HLL_M})"))
+    regs = (
+        events.select(
+            "event_type", (h % HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    ln_arr = F.array(*[F.lit(v) for v in _HLL_LN_SCALED])
+    folded = (
+        regs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum(F.expr("shiftleft(1L, CAST(24 - m_rho AS INT))")).alias(
+                "s_present"
+            ),
+        )
+        .withColumn("v_empty", F.lit(HLL_M) - F.col("n_present"))
+        .withColumn(
+            "s_scaled",
+            F.col("s_present") + F.col("v_empty") * F.lit(1 << 24),
+        )
+    )
+    # the raw-estimate numerator exceeds 2^53, so the division MUST be
+    # integer `div` (a double floor would diverge from DuckDB's //)
+    e_raw = F.expr(
+        f"CAST(({HLL_ALPHA_MICRO}L * {HLL_M} * {HLL_M} * {1 << 24}L) "
+        f"div (s_scaled * 1000000L) AS BIGINT)"
+    )
+    e_lc = F.floor(
+        F.lit(HLL_M)
+        * (
+            F.lit(_HLL_LN_SCALED[HLL_M])
+            - F.element_at(ln_arr, (F.col("v_empty") + 1).cast("int"))
+        )
+        / F.lit(1 << 20)
+    ).cast("long")
+    est = F.when(
+        (F.col("v_empty") > 0) & (e_raw <= HLL_LC_THRESHOLD), e_lc
+    ).otherwise(e_raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        folded.select("event_type", est.alias("est_distinct"))
+        .join(exact, "event_type")
+        .select("event_type", "est_distinct", "exact_distinct")
+    )
+
+
+def duckdb_distinct_hll_sql() -> str:
+    h = _hll_mix_sql("user_id", _duck_xor)
+    rho = _hll_rho_sql(f"({h} // {HLL_M})")
+    ln_list = "[" + ", ".join(str(v) for v in _HLL_LN_SCALED[1:]) + "]"
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, ({h}) % {HLL_M} AS bucket, {rho} AS rho
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, bucket, max(rho) AS m_rho
+      FROM hashed GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type,
+             count(*) AS n_present,
+             CAST(sum(CAST(1 AS BIGINT) << (24 - m_rho)) AS BIGINT) AS s_present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             ({HLL_M} - n_present) AS v_empty,
+             s_present + ({HLL_M} - n_present) * (CAST(1 AS BIGINT) << 24)
+               AS s_scaled
+      FROM folded
+    ),
+    raw AS (
+      SELECT event_type, v_empty,
+             CAST(({HLL_ALPHA_MICRO}::BIGINT * {HLL_M} * {HLL_M}
+                   * (CAST(1 AS BIGINT) << 24)) // (s_scaled * 1000000)
+                  AS BIGINT) AS e_raw
+      FROM est
+    ),
+    final AS (
+      SELECT event_type,
+             CASE WHEN v_empty > 0 AND e_raw <= {HLL_LC_THRESHOLD}
+                  THEN CAST(({HLL_M}::BIGINT
+                        * ({_HLL_LN_SCALED[HLL_M]} -
+                           list_extract({ln_list}, CAST(v_empty AS INT))))
+                        // {1 << 20} AS BIGINT)
+                  ELSE e_raw END AS est_distinct
+      FROM raw
+    )
+    SELECT f.event_type, f.est_distinct, e.exact_distinct
+    FROM final f
+    JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1) e USING (event_type)
+    """
