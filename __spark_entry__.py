@@ -375,6 +375,14 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(tables.read_table(spark, sf_dir, "embeddings"))
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: unit-sphere sub-codebooks, 8-byte
+    codes, ADC lookup-table scoring, exact-cosine re-rank of the
+    shortlist — the compressed-vector retrieval shape (32x smaller
+    index than raw float32 at 100 TB)."""
+    return similarity.pq_topk(tables.read_table(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(
         similarity.with_planted_dups(tables.read_table(spark, sf_dir, "embeddings"))
@@ -556,6 +564,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "embedding_neardup": q_embedding_neardup,
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
@@ -673,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": similarity.duckdb_brute_topk_sql(),
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),
         "knn_ivf": similarity.duckdb_ivf_topk_sql(),
+        "knn_pq": similarity.duckdb_pq_topk_sql(),
         "embedding_neardup": similarity.duckdb_neardup_sql(),
         "events_sessionize": events.duckdb_sessionize_sql(),
         "events_windowed": events.duckdb_windowed_sql(),

@@ -601,3 +601,297 @@ def duckdb_neardup_sql(micro: int = NEARDUP_MICRO) -> str:
     WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
       AND {duck_cos_micro('a.embedding', 'b.embedding')} >= {micro}
     """
+
+
+# ----------------------------------------------------------- PQ / ADC ANN
+NSUB = 8                      # subspaces (DIM 64 -> 8 dims each)
+SUBDIM = DIM // NSUB
+PQ_CANDIDATES = 25            # ADC shortlist size before exact re-rank
+
+
+def _py_subdist(q, c, m: int, subdim: int = SUBDIM) -> float:
+    """Squared L2 between the m-th subvectors as a LEFT FOLD in dim
+    order over doubles — the exact arithmetic the Spark HOF fold, the
+    DuckDB list_reduce, and the numpy per-dim accumulation produce."""
+    acc = 0.0
+    for d in range(m * subdim, (m + 1) * subdim):
+        diff = float(q[d]) - float(c[d])
+        acc = acc + diff * diff
+    return acc
+
+
+def _py_normalize(vals) -> list[float]:
+    """Unit-normalize with the shared fold arithmetic: squared norm as
+    the index-order left fold, then per-element division — the same
+    doubles numpy's per-dim accumulation and DuckDB's list_transform
+    produce. PQ quantizes the UNIT SPHERE so ADC's L2 ranking agrees
+    with the cosine metric (||u - v||^2 = 2 - 2 cos for unit vectors)."""
+    import math
+
+    n2 = _py_norm2(vals)
+    inv = math.sqrt(n2)
+    return [float(v) / inv for v in vals]
+
+
+def pq_topk(
+    embeddings: DataFrame, k: int = K, n_candidates: int = PQ_CANDIDATES
+) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half): corpus
+    vectors are encoded as NSUB one-byte codes against deterministic
+    per-subspace codebooks (the % CENTROID_MOD == 3 training subset —
+    swap in k-means-trained sub-codebooks and nothing else changes);
+    queries score the WHOLE corpus with an ADC lookup table (one
+    distance per (subspace, centroid), reused across every corpus row
+    — the PQ trade: 8 table lookups per pair instead of a 64-dim dot),
+    shortlist top-``n_candidates`` by ADC, then exact-cosine re-rank to
+    top-k. Output: (query_id, neighbor_id, rank, cos_micro, adc_micro).
+
+    Scale shape: codes are 8 bytes/vector (32x smaller than the raw
+    float32 vectors — the reason PQ exists at 100 TB); encoding is one
+    map-side Arrow kernel against the broadcast codebook (zero
+    Exchange, same pattern as ivf_topk); ADC scoring is JVM-side HOF
+    arithmetic over a broadcast query+LUT table; only the bounded
+    shortlist reaches the exact re-rank.
+
+    NOTE: like ivf_topk, CONSTRUCTION collects the training subset and
+    the probe set eagerly (both bounded by construction); the LUTs are
+    frozen at build time."""
+    import numpy as np
+
+    train_rows = sorted(
+        embeddings.filter(F.col("vec_id") % CENTROID_MOD == 3)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not train_rows:
+        raise ValueError(
+            f"pq_topk: empty codebook — no vec_id % {CENTROID_MOD} == 3 "
+            "training rows in the input"
+        )
+    cents = np.array(
+        [_py_normalize(r.embedding) for r in train_rows], dtype=np.float64
+    )
+    ksub = len(train_rows)
+    # dimension-adaptive subspace split (the registered oracle covers
+    # the 64-dim driver table; small test corpora still work)
+    dim = cents.shape[1]
+    nsub = NSUB if dim >= NSUB else dim
+    if dim % nsub:
+        raise ValueError(f"pq_topk: dim {dim} not divisible into {nsub} subspaces")
+    subdim = dim // nsub
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # unit-normalize with the fold-order norm (see _py_normalize)
+            n2 = np.zeros(len(emb))
+            for d in range(emb.shape[1]):
+                n2 += emb[:, d] * emb[:, d]
+            emb = emb / np.sqrt(n2)[:, None]
+            codes = np.empty((len(emb), nsub), dtype=np.int32)
+            for m in range(nsub):
+                acc = np.zeros((len(emb), ksub))
+                for d in range(m * subdim, (m + 1) * subdim):
+                    diff = emb[:, d : d + 1] - cents[None, :, d]
+                    acc += diff * diff
+                codes[:, m] = np.argmin(acc, axis=1)  # first-min = lowest idx
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    coded = embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, embedding array<float>, codes array<int>"
+    )
+    corpus = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        _norm2(F.col("embedding")).alias("n_n2"),
+        "codes",
+    )
+    # driver-built ADC lookup tables for the bounded probe set: flat
+    # array lut[m * ksub + j] = d2(q_m, c_j_m), exact same fold
+    # arithmetic as the oracle recomputes
+    q_rows = sorted(
+        embeddings.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    spark = embeddings.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        qn = _py_normalize(r.embedding)
+        lut_rows.append(
+            (
+                int(r.vec_id),
+                [list(r.embedding)],
+                [
+                    _py_subdist(qn, cents[j], m, subdim)
+                    for m in range(nsub)
+                    for j in range(ksub)
+                ],
+            )
+        )
+    queries = spark.createDataFrame(
+        [(vid, emb[0], lut) for vid, emb, lut in lut_rows],
+        schema="query_id long, q_emb array<float>, lut array<double>",
+    ).select(
+        "query_id", "q_emb", _norm2(F.col("q_emb")).alias("q_n2"), "lut"
+    )
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nsub - 1)),
+            lambda m: F.element_at(
+                F.col("lut"),
+                (m * ksub + F.element_at(F.col("codes"), m + 1) + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_emb",
+            "n_emb",
+            "q_n2",
+            "n_n2",
+            F.floor(adc * F.lit(1_000_000)).cast("long").alias("adc_micro"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = scored.withColumn("crank", F.row_number().over(w_adc)).filter(
+        F.col("crank") <= n_candidates
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro",
+            cos_micro_pre(
+                F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_micro", "adc_micro")
+    )
+
+
+def duckdb_pq_topk_sql(k: int = K, n_candidates: int = PQ_CANDIDATES) -> str:
+    """Oracle recomputing the ENTIRE PQ pipeline in SQL: sub-codebooks,
+    nearest-sub-centroid codes (argmin = row_number over (d2, idx)),
+    the per-query LUT, the ADC fold in subspace order, the shortlist,
+    and the exact-cosine re-rank — every float op in the same left-fold
+    order as the Spark side."""
+
+    def subdist(vec_a: str, vec_b: str, m: int) -> str:
+        return f"""
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range({m * SUBDIM + 1}, {(m + 1) * SUBDIM + 1}), i ->
+            ({vec_a}[CAST(i AS INT)]::DOUBLE - {vec_b}[CAST(i AS INT)]::DOUBLE)
+            * ({vec_a}[CAST(i AS INT)]::DOUBLE - {vec_b}[CAST(i AS INT)]::DOUBLE))),
+          (acc, x) -> acc + x)
+        """
+
+    sub_d2 = " + ".join(
+        f"(CASE WHEN m = {m} THEN ({subdist('e.embedding', 'c.embedding', m)}) ELSE 0 END)"
+        for m in range(NSUB)
+    )
+    lut_d2 = " + ".join(
+        f"(CASE WHEN m = {m} THEN ({subdist('q.embedding', 'c.embedding', m)}) ELSE 0 END)"
+        for m in range(NSUB)
+    )
+    norm2 = _DUCK_DOT.format(a="embedding", b="embedding", dim=DIM)
+    return f"""
+    WITH nemb AS (
+      -- unit-normalize: PQ quantizes the unit sphere (ADC L2 ranking
+      -- == cosine ranking for unit vectors); same fold-order norm +
+      -- per-element division as the Spark kernel
+      SELECT vec_id,
+             list_transform(embedding, xx -> xx::DOUBLE / sqrt({norm2}))
+               AS embedding
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding
+      FROM nemb WHERE vec_id % {CENTROID_MOD} = 3
+    ),
+    ksub AS (SELECT count(*) AS n FROM cents),
+    subspace AS (SELECT CAST(m AS BIGINT) AS m FROM UNNEST(range({NSUB})) AS t(m)),
+    sub_scored AS (
+      SELECT e.vec_id, s.m, c.cidx, ({sub_d2}) AS d2
+      FROM nemb e, subspace s, cents c
+    ),
+    codes AS (
+      SELECT vec_id, m, cidx AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2 ASC, cidx ASC) AS rn
+        FROM sub_scored) WHERE rn = 1
+    ),
+    code_arr AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes FROM codes GROUP BY 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM nemb
+          WHERE vec_id % {QUERY_MOD} = 0),
+    lut AS (
+      SELECT q.query_id, s.m, c.cidx, ({lut_d2}) AS d2
+      FROM q, subspace s, cents c
+    ),
+    lut_arr AS (
+      SELECT query_id, list(d2 ORDER BY m, cidx) AS lut FROM lut GROUP BY 1
+    ),
+    scored AS (
+      -- ksub joined in as a scalar column: DuckDB lambdas reference
+      -- outer row columns but reject subqueries
+      SELECT l.query_id, ca.vec_id AS neighbor_id,
+             CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range({NSUB}), m ->
+                 l.lut[CAST(m * kk.n
+                       + ca.codes[CAST(m + 1 AS INT)] + 1 AS INT)])),
+               (acc, x) -> acc + x) * 1000000) AS BIGINT) AS adc_micro
+      FROM lut_arr l, code_arr ca, ksub kk
+      WHERE ca.vec_id <> l.query_id
+    ),
+    shortlist AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_micro ASC, neighbor_id ASC) AS crank
+        FROM scored) WHERE crank <= {n_candidates}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, s.adc_micro,
+             {duck_cos_micro('qe.embedding', 'ne.embedding')} AS cos_micro
+      FROM shortlist s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_micro DESC, neighbor_id ASC) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           cos_micro, adc_micro
+    FROM rk WHERE rank <= {k}
+    """

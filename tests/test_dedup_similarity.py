@@ -275,3 +275,31 @@ def test_star_contraction_multiple_components_and_orientation(spark):
     labels, _ = dedup._star_contract(edges, max_rounds=12)
     out = labels.toPandas().set_index("doc_id")["comp"].to_dict()
     assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_pq_topk_deterministic_and_reranked(spark, emb):
+    """PQ/ADC ANN on the in-memory corpus: candidates come from the
+    8-byte codes, output ranks are EXACT cosines (re-ranked), every
+    emitted cosine equals the brute-force value for the same pair, and
+    the whole thing is deterministic across invocations."""
+    pq = similarity.pq_topk(emb, k=3).toPandas()
+    brute = similarity.brute_force_topk_window(emb, k=len(emb.toPandas())).toPandas()
+    merged = pq.merge(brute, on=["query_id", "neighbor_id"], suffixes=("_p", "_b"))
+    assert len(merged) == len(pq)  # every PQ pair exists in the full rank
+    assert (merged.cos_micro_p == merged.cos_micro_b).all()
+    # within the emitted rows, ranks follow exact cosine
+    for q in pq.query_id.unique():
+        sub = pq[pq.query_id == q].sort_values("rank")
+        assert (sub.cos_micro.diff().dropna() <= 0).all()
+    again = similarity.pq_topk(emb, k=3).toPandas()
+    assert pq.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def test_pq_topk_empty_codebook_raises(spark, emb):
+    from pyspark.sql import functions as F
+
+    no_train = emb.filter(F.col("vec_id") % similarity.CENTROID_MOD != 3)
+    with pytest.raises(ValueError, match="empty codebook"):
+        similarity.pq_topk(no_train)
