@@ -146,6 +146,7 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("knn_brute", lambda: similarity.brute_force_topk(emb))
     timed("knn_lsh", lambda: similarity.lsh_topk(emb))
     timed("knn_ivf", lambda: similarity.ivf_topk(emb))
+    timed("knn_pq", lambda: similarity.pq_topk(emb))
     timed("quality_tokens", lambda: ta.quality_score(flat_docs).join(
         ta.token_stats(flat_docs).withColumnRenamed("n_tokens", "n_tokens_ws"),
         "doc_id",
