@@ -327,6 +327,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(_mutated(spark, sf_dir))
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional exact-substring dedup (Lee et al. shape): maximal
+    per-document spans covered by 10-token windows that occur verbatim
+    in >= 2 distinct documents — linear plan, no document pair join."""
+    return dedup.duplicate_spans(_mutated(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.lang_id(tables.read_table(spark, sf_dir, "documents"))
 
@@ -553,6 +560,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash128": q_dedup_simhash128,
         "dedup_components": q_dedup_components,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -671,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.duckdb_simhash_pairs_sql(mutants),
         "dedup_simhash128": dedup.duckdb_simhash128_pairs_sql(mutants),
         "dedup_components": dedup.duckdb_components_sql(mutants),
+        "dedup_substring_spans": dedup.duckdb_duplicate_spans_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "token_stats": ta.duckdb_token_stats_sql(),

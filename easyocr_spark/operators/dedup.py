@@ -752,3 +752,100 @@ def duckdb_simhash_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:
 
 def duckdb_simhash128_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> str:
     return _duckdb_simhash_sql(table_sql, SIMHASH128_BASES, max_hamming)
+
+
+# ------------------------------------------------ exact substring spans
+SUBSTR_N = 10  # token-window width for exact substring dedup
+
+
+def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """Positional EXACT-SUBSTRING dedup (the Lee et al. 2022
+    "Deduplicating Training Data" shape): find every n-token window
+    whose exact text occurs in >= 2 DISTINCT documents, then merge each
+    document's overlapping/adjacent duplicate windows into maximal
+    spans — the per-document regions a training pipeline would mask or
+    drop. Output: (doc_id, span_start, span_end_excl, n_windows) in
+    token positions.
+
+    Unlike the pairwise Jaccard family this never joins documents
+    against each other: one shuffle counts per-gram document frequency,
+    one joins the duplicated grams back to their positions, and a
+    lag+cumsum gaps-and-islands window merges windows per document —
+    every stage linear in total token count, no quadratic pair blowup
+    even for grams shared by millions of docs (the join-back emits one
+    row per OCCURRENCE, not per pair). Windows repeated only WITHIN a
+    single document are excluded by the distinct-doc frequency test
+    (within-doc repetition is repetition_signals' job)."""
+    tokenized = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window
+
+    pos_grams = tokenized.select(
+        "doc_id", F.posexplode(grams).alias("pos", "g")
+    )
+    shared = (
+        pos_grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("g")
+    )
+    hits = pos_grams.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end_excl"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end_excl", "n_windows")
+
+
+def duckdb_duplicate_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(toks[CAST(i+1 AS INT):CAST(i+{n} AS INT)], ' ')) AS g
+      FROM toks, UNNEST(range(0, greatest(len(toks) - {n} + 1, 0))) AS t(i)
+    ),
+    shared AS (
+      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM grams GROUP BY 1)
+      WHERE c >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {n}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {n} AS span_end_excl,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """

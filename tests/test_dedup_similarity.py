@@ -303,3 +303,32 @@ def test_pq_topk_empty_codebook_raises(spark, emb):
     no_train = emb.filter(F.col("vec_id") % similarity.CENTROID_MOD != 3)
     with pytest.raises(ValueError, match="empty codebook"):
         similarity.pq_topk(no_train)
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    """Planted shared substring mid-document: the merged span must
+    cover exactly the shared window positions (start at the first
+    window start, end at last window start + n), within-doc-only
+    repetition must NOT count, and disjoint shared regions stay
+    separate islands."""
+    shared = " ".join(f"s{i}" for i in range(12))       # 12 shared tokens
+    shared2 = " ".join(f"z{i}" for i in range(10))      # second shared run
+    rows = [
+        # doc 0: 5 unique tokens, shared(12), 8 unique, shared2(10)
+        (0, "a0 a1 a2 a3 a4 " + shared + " b0 b1 b2 b3 b4 b5 b6 b7 " + shared2),
+        # doc 1 carries both shared runs at different offsets
+        (1, shared + " c0 c1 c2 " + shared2),
+        # doc 2: repeats ITS OWN 10-gram twice but shares nothing
+        (2, " ".join(f"w{i}" for i in range(10)) + " x " + " ".join(f"w{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.duplicate_spans(docs, n=10).toPandas()
+    got = {
+        (r.doc_id, r.span_start, r.span_end_excl)
+        for r in out.itertuples()
+    }
+    # doc 0: shared(12 tokens) at positions 5..16 -> windows 5,6,7 ->
+    # span [5, 17); shared2 at 25..34 -> window 25 -> span [25, 35)
+    # doc 1: windows 0,1,2 -> [0, 12); window 15 -> [15, 25)
+    assert got == {(0, 5, 17), (0, 25, 35), (1, 0, 12), (1, 15, 25)}
+    assert 2 not in set(out.doc_id)  # within-doc repetition excluded
