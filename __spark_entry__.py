@@ -342,6 +342,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quality_score(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit character-bigram cross-entropy per document (milli-
+    bits): train pass = one bigram-count shuffle collected like a
+    codebook; score pass = broadcast model join + integer sums."""
+    return ta.lm_cross_entropy(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_stats(tables.read_table(spark, sf_dir, "documents"))
 
@@ -563,6 +570,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_substring_spans": q_dedup_substring_spans,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "lm_cross_entropy": q_lm_cross_entropy,
         "token_stats": q_token_stats,
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
@@ -682,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": dedup.duckdb_duplicate_spans_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
+        "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),
         "token_stats": ta.duckdb_token_stats_sql(),
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),

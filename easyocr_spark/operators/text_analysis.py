@@ -433,3 +433,90 @@ def duckdb_fingerprint_sql(table: str = "documents") -> str:
              (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fingerprint
     FROM {table}
     """
+
+
+# ------------------------------------------------ LM cross-entropy score
+def lm_cross_entropy(docs: DataFrame) -> DataFrame:
+    """Corpus-fit character-bigram cross-entropy per document — the
+    model-based quality signal next to the heuristic quality_score
+    (outlier docs score high bits/char against the corpus's own
+    character statistics; the Gopher/CCNet recipe uses a trained LM,
+    this is its deterministic self-fit analogue).
+
+    Two passes, classic Spark shape: (1) TRAIN — one shuffle counts the
+    corpus bigram table (bounded by the character alphabet squared, so
+    it collects to the driver like an IVF codebook); per-bigram
+    surprisal is frozen driver-side as floor(1000 * (log2(count(c1·))
+    - log2(count(c1c2)))) MILLI-BITS — an integer, so (2) SCORE is a
+    broadcast join + pure-integer per-doc sum with no float-order
+    sensitivity. The oracle recomputes the same surprisal with
+    DuckDB's log2 (same libm as CPython's math.log2 on this host, and
+    the value is floored, so the integers agree exactly).
+
+    Output: (doc_id, n_bigrams, bits_milli, avg_milli_bits) for docs
+    with at least one bigram."""
+    import math
+
+    low = docs.select("doc_id", F.lower("text").alias("lt"))
+    bigrams_arr = F.when(
+        F.length("lt") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("lt") - 1),
+            lambda i: F.col("lt").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = low.select("doc_id", F.explode(bigrams_arr).alias("bg"))
+    counts = {
+        r["bg"]: int(r["n"])
+        for r in bg.groupBy("bg").agg(F.count("*").alias("n")).collect()
+    }
+    tot: dict[str, int] = {}
+    for b, n in counts.items():
+        tot[b[0]] = tot.get(b[0], 0) + n
+    model_rows = [
+        (b, int(math.floor(1000.0 * (math.log2(tot[b[0]]) - math.log2(n)))))
+        for b, n in sorted(counts.items())
+    ]
+    spark = docs.sparkSession
+    model = spark.createDataFrame(
+        model_rows, schema="bg string, logp_milli long"
+    )
+    return (
+        bg.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("logp_milli").alias("bits_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bits_milli",
+            # integer div, not double-divide-then-cast: a double ratio
+            # rounding up across an integer boundary would diverge from
+            # the oracle's floor //
+            F.expr("bits_milli div n_bigrams").alias("avg_milli_bits"),
+        )
+    )
+
+
+def duckdb_lm_cross_entropy_sql(table_sql: str = "SELECT * FROM documents") -> str:
+    return """
+    WITH low AS (SELECT doc_id, lower(text) AS lt FROM ({table_sql})),
+    bg AS (
+      SELECT doc_id, substr(lt, CAST(i AS INT), 2) AS bg
+      FROM low, UNNEST(range(1, greatest(length(lt), 1))) AS t(i)
+    ),
+    counts AS (SELECT bg, count(*) AS n FROM bg GROUP BY 1),
+    tots AS (SELECT substr(bg, 1, 1) AS c1, sum(n) AS t FROM counts GROUP BY 1),
+    model AS (
+      SELECT bg, CAST(floor(1000.0 * (log2(t) - log2(n))) AS BIGINT)
+               AS logp_milli
+      FROM counts JOIN tots ON substr(bg, 1, 1) = c1
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(logp_milli) AS BIGINT) AS bits_milli,
+           CAST(sum(logp_milli) // count(*) AS BIGINT) AS avg_milli_bits
+    FROM bg JOIN model USING (bg)
+    GROUP BY doc_id
+    """.replace("{table_sql}", table_sql)

@@ -113,3 +113,18 @@ def test_repetition_signals(spark):
     assert out.loc[1, "dup_line_milli"] == 333
     assert out.loc[2, "dup_token_milli"] == 0
     assert out.loc[3, "top_bigram_milli"] == 0
+
+
+def test_lm_cross_entropy_flags_outliers(spark):
+    """Corpus-fit bigram cross-entropy: a doc written in characters the
+    rest of the corpus rarely uses must score strictly higher
+    bits/bigram than in-distribution docs; integer milli-bit sums are
+    deterministic across runs."""
+    rows = [(d, "the cat sat on the mat and the rat sat pat") for d in range(8)]
+    rows.append((100, "zq zq xj xj qz vk wv zz qx jx kv"))  # outlier chars
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = ta.lm_cross_entropy(docs).toPandas().set_index("doc_id")
+    common_avg = out.loc[0, "avg_milli_bits"]
+    assert out.loc[100, "avg_milli_bits"] > common_avg
+    again = ta.lm_cross_entropy(docs).toPandas().set_index("doc_id")
+    assert out.sort_index().equals(again.sort_index())
