@@ -192,6 +192,21 @@ def q_detect_polygons_curved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detect_polygons_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """poly=True over the smooth class: the 4L-point outline must carry
+    each glyph cell's own SUB-PIXEL top (half-pixel blend phase read
+    from the anti-aliased gray) — the getPoly_core refinement at the
+    grain an integer staircase cannot express; quarter-pixel exact."""
+    a = "CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    refs = _distinct_media(spark, sf_dir).filter(
+        F.expr(corpus.duckdb_smooth_pred(a, b))
+    )
+    return refs.mapInPandas(
+        udfs.detect_smooth_poly_batches, schema=udfs.DETECT_SMOOTH_POLY_SCHEMA
+    )
+
+
 def q_ocr_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, media = _docs_media(spark, sf_dir)
     spans = pipeline.explode_spans(docs)
@@ -551,6 +566,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "detect_smooth_geometry": q_detect_smooth_geometry,
         "detect_polygons": q_detect_polygons,
         "detect_polygons_curved": q_detect_polygons_curved,
+        "detect_polygons_smooth": q_detect_polygons_smooth,
         "ocr_results": q_ocr_results,
         "ocr_results_beamsearch": q_ocr_results_beamsearch,
         "ocr_results_wordbeam": q_ocr_results_wordbeam,
@@ -638,6 +654,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "detect_polygons": corpus.duckdb_poly_geometry_sql(DUCK_DISTINCT_REFS),
         "detect_polygons_curved": corpus.duckdb_curved_poly_sql(
+            DUCK_DISTINCT_REFS
+        ),
+        "detect_polygons_smooth": corpus.duckdb_smooth_poly_sql(
             DUCK_DISTINCT_REFS
         ),
         "ocr_results": f"""

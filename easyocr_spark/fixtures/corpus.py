@@ -696,6 +696,50 @@ def duckdb_curved_poly_sql(refs_sql: str) -> str:
     )
 
 
+def duckdb_smooth_poly_sql(refs_sql: str) -> str:
+    """Expected SUB-PIXEL polygon outlines per SMOOTH-class media_ref:
+    (media_ref, box_idx, pt_idx, xq, yq) in QUARTER-pixels. Cell g of a
+    word tops out at t0 + g*(2s + 1/2) (render.smooth_drop_quarters) —
+    exact integers in quarter-px; cells span their 5s ink columns;
+    point order = cell tops left-to-right, bottoms (top + 7s)
+    right-to-left, matching detection.detect_smooth_polys."""
+    a = "TRY_CAST(split_part(media_ref, '_', 2) AS BIGINT)"
+    b = "TRY_CAST(split_part(media_ref, '_', 3) AS BIGINT)"
+    v = _vocab_sql()
+    return f"""
+    WITH refs AS (
+      SELECT media_ref, {a} AS a, {b} AS b FROM ({refs_sql})
+      WHERE {duckdb_smooth_pred(a, b)}
+    ),
+    geo AS (
+      SELECT media_ref, a, b, (2 + 2*((a + b) % 2)) AS s,
+             ((a + 3*b) % 3 + 1) AS n_w
+      FROM refs
+    ),
+    words AS (
+      SELECT media_ref, s, CAST(j AS BIGINT) AS box_idx,
+             length(list_extract({v},
+                 CAST((a*31 + b*17 + j*7) % 64 + 1 AS INT))) AS len_j,
+             CAST(list_sum(list_prepend(0::BIGINT,
+               list_transform(range(0, CAST(j AS BIGINT)), k ->
+                 6 * length(list_extract({v},
+                   CAST((a*31 + b*17 + k*7) % 64 + 1 AS INT))) - 1 + 9)))
+               AS BIGINT) AS x_off
+      FROM geo, UNNEST(range(n_w)) AS t(j)
+    ),
+    pts AS (
+      SELECT media_ref, s, box_idx, len_j, x_off, CAST(p AS BIGINT) AS p,
+             CASE WHEN p < 2*len_j THEN p ELSE 4*len_j - 1 - p END AS f,
+             CASE WHEN p < 2*len_j THEN 0 ELSE 1 END AS is_bot
+      FROM words, UNNEST(range(4*len_j)) AS t(p)
+    )
+    SELECT media_ref, CAST(box_idx AS INT) AS box_idx, CAST(p AS INT) AS pt_idx,
+           CAST((4 + x_off + (f // 2) * 6 + (f % 2) * 5) * s * 4 AS BIGINT) AS xq,
+           CAST(16 * s + (f // 2) * (8 * s + 2) + is_bot * 28 * s AS BIGINT) AS yq
+    FROM pts
+    """
+
+
 def duckdb_box_geometry_sql(refs_sql: str) -> str:
     """Expected detection boxes per non-tiny media_ref, reading order:
     (media_ref, box_idx, x_min, x_max, y_min, y_max).

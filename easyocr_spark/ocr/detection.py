@@ -403,6 +403,43 @@ def _refine_smooth_quads(
     return out
 
 
+def detect_smooth_polys(gray: np.ndarray) -> list[np.ndarray]:
+    """poly=True for the SMOOTH class: one 4L-point SUB-PIXEL outline
+    per smooth word in reading order — the getPoly_core refinement at
+    the anti-aliased grain. Each glyph cell contributes its top-left /
+    top-right corners at the cell's own ink top INCLUDING the half-
+    pixel blend phase (read from the gray like _refine_smooth_quads),
+    and the return path mirrors the bottoms (top + unblended cell
+    height) right-to-left. Words without blend pixels yield no entry
+    (the staircase classes keep their integer detect_polys path)."""
+    h_img, w_img = gray.shape
+    polys: list[np.ndarray] = []
+    for q in detect(gray):
+        qa = np.asarray(q, dtype=np.float64)
+        x0 = max(0, int(np.floor(qa[:, 0].min())))
+        x1 = min(w_img, int(np.ceil(qa[:, 0].max())))
+        y0 = max(0, int(np.floor(qa[:, 1].min())))
+        y1 = min(h_img, int(np.ceil(qa[:, 1].max())))
+        crop = gray[y0:y1, x0:x1]
+        if crop.size == 0 or not (crop == SMOOTH_BLEND).any():
+            continue
+        mask = crop <= 250
+        starts, ends = _column_runs(mask)
+        tops: list[tuple[float, float]] = []
+        bots: list[tuple[float, float]] = []
+        for s, e in zip(starts, ends):
+            rows = np.nonzero(mask[:, s:e].any(axis=1))[0]
+            t = int(rows[0])
+            half = int(crop[t, s:e].min()) == SMOOTH_BLEND
+            t_sub = t + (0.5 if half else 0.0)
+            hh = int(rows[-1]) - t + 1 - (1 if half else 0)
+            xl, xr = float(x0 + s), float(x0 + e)
+            tops += [(xl, y0 + t_sub), (xr, y0 + t_sub)]
+            bots += [(xl, y0 + t_sub + hh), (xr, y0 + t_sub + hh)]
+        polys.append(np.array(tops + bots[::-1], dtype=np.float64))
+    return polys
+
+
 def adjust_result_coordinates(
     boxes: list[np.ndarray], ratio: float, ratio_net: int = RATIO_NET
 ) -> list[np.ndarray]:

@@ -205,6 +205,33 @@ DETECT_SMOOTH_SCHEMA = (
 )
 
 
+def detect_smooth_poly_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """poly=True for the smooth class: one row per SUB-PIXEL polygon
+    point in quarter-pixels — (media_ref, box_idx, pt_idx, xq, yq)."""
+    from .detection import detect_smooth_polys
+
+    for pdf in it:
+        rows = []
+        for ref, data in zip(pdf["media_ref"], pdf["content"]):
+            img = decode_gray(bytes(data))
+            for box_idx, poly in enumerate(detect_smooth_polys(img)):
+                for pt_idx, (x, y) in enumerate(poly):
+                    rows.append(
+                        (ref, box_idx, pt_idx,
+                         int(round(x * 4)), int(round(y * 4)))
+                    )
+        yield pd.DataFrame(
+            rows, columns=["media_ref", "box_idx", "pt_idx", "xq", "yq"]
+        )
+
+
+DETECT_SMOOTH_POLY_SCHEMA = (
+    "media_ref string, box_idx int, pt_idx int, xq long, yq long"
+)
+
+
 def detect_poly_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """poly=True detection stage (the getPoly_core analogue): one row
     per polygon POINT — (media_ref, box_idx, pt_idx, x, y), integer

@@ -365,3 +365,22 @@ def test_smooth_deblend_reconstructs_upright_pixels():
     got = crop[gys.min() : gys.max() + 1, gxs.min() : gxs.max() + 1]
     assert got.shape == want.shape
     assert (got == want).all()
+
+
+def test_smooth_poly_subpixel_outline():
+    """detect_smooth_polys must trace each cell's own sub-pixel top:
+    odd cells carry the +0.5 blend phase, even cells integer tops, and
+    bottoms sit exactly one glyph height (7s) below."""
+    img = render.render_text_smooth([["FALCON"]], 2)
+    (poly,) = detection.detect_smooth_polys(img)
+    L, s = 6, 2
+    assert poly.shape == (4 * L, 2)
+    tops = poly[: 2 * L : 2, 1]           # left-top y of each cell
+    expect = [4 * s + g * (2 * s + 0.5) for g in range(L)]
+    assert tops.tolist() == expect
+    bots = poly[2 * L :, 1][::-1][::2]    # left-bottom y per cell
+    assert bots.tolist() == [t + 7 * s for t in expect]
+    # staircase (non-smooth) renders produce no smooth polys
+    assert detection.detect_smooth_polys(
+        render.render_text([["FALCON"]], 2, slant_dy=2)
+    ) == []
