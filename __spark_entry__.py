@@ -484,6 +484,21 @@ def q_streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL: per-(closed window, event_type) distinct-user
+    estimates where the state store holds SKETCH REGISTERS (bounded at
+    m=512 per group) merged by max across micro-batches; the shared
+    integer-exact fold finalizes — equals the batch sketch restricted
+    to closed windows."""
+    import os
+
+    from easyocr_spark.streaming import stream
+
+    return stream.streaming_distinct_hll(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OCR extraction as a VERIFIED query: the interleaved
     documents table is replayed as a multi-file AvailableNow stream
@@ -608,6 +623,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_extract": q_streaming_extract,
+        "streaming_distinct_hll": q_streaming_distinct_hll,
     }
 
 
@@ -730,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_append": events.duckdb_windowed_append_sql(),
         "streaming_sessionize_stateful": events.duckdb_sessionize_closed_sql(),
         "streaming_dedup_exact": "SELECT DISTINCT event_id FROM events",
+        "streaming_distinct_hll": events.duckdb_streaming_hll_sql(),
         "streaming_extract": f"""
             SELECT doc_id, "offset", kind,
                    CASE WHEN kind = 'media' THEN {gt} ELSE text END AS text,

@@ -261,30 +261,24 @@ def _hll_rho_sql(w: str) -> str:
     return f"(CASE WHEN ({w}) = 0 THEN {HLL_W_BITS + 1} ELSE {_hll_tz_case(lsb)} + 1 END)"
 
 
-def distinct_users_hll(events: DataFrame) -> DataFrame:
-    """(event_type, est_distinct, exact_distinct): HLL distinct user
-    estimate per event type next to the exact count (the exact count is
-    part of the contract so the sketch's error is auditable in the
-    oracle diff, and it exercises the expensive path HLL replaces).
-
-    Two shuffles: (event_type, bucket) register max — partial-aggregated
-    map-side, state bounded at m rows per group — then the per-group
-    integer fold. The estimator is plain HLL with the standard
-    small-range linear-counting correction, all in scaled-integer
-    arithmetic (see module constants) so DuckDB reproduces it exactly."""
+def hll_register_cols():
+    """(bucket, rho) Column pair over ``user_id`` — the per-row sketch
+    observables shared by the batch and streaming HLL operators."""
     mix = _hll_mix_sql("user_id", _spark_xor)
-    h = F.expr(mix)
+    bucket = F.expr(mix) % HLL_M
     rho = F.expr(_hll_rho_sql(f"(({mix}) div {HLL_M})"))
-    regs = (
-        events.select(
-            "event_type", (h % HLL_M).alias("bucket"), rho.alias("rho")
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("m_rho"))
-    )
+    return bucket, rho
+
+
+def hll_fold(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold (keys..., bucket, m_rho) register rows into per-key HLL
+    estimates — the shared integer-exact estimator (see module
+    constants). Registers are MERGEABLE by max, so this same fold
+    finalizes batch registers, streaming state emissions, or unions of
+    per-day register tables."""
     ln_arr = F.array(*[F.lit(v) for v in _HLL_LN_SCALED])
     folded = (
-        regs.groupBy("event_type")
+        regs.groupBy(*keys)
         .agg(
             F.count("*").alias("n_present"),
             F.sum(F.expr("shiftleft(1L, CAST(24 - m_rho AS INT))")).alias(
@@ -314,11 +308,31 @@ def distinct_users_hll(events: DataFrame) -> DataFrame:
     est = F.when(
         (F.col("v_empty") > 0) & (e_raw <= HLL_LC_THRESHOLD), e_lc
     ).otherwise(e_raw)
+    return folded.select(*keys, est.alias("est_distinct"))
+
+
+def distinct_users_hll(events: DataFrame) -> DataFrame:
+    """(event_type, est_distinct, exact_distinct): HLL distinct user
+    estimate per event type next to the exact count (the exact count is
+    part of the contract so the sketch's error is auditable in the
+    oracle diff, and it exercises the expensive path HLL replaces).
+
+    Two shuffles: (event_type, bucket) register max — partial-aggregated
+    map-side, state bounded at m rows per group — then the per-group
+    integer fold. The estimator is plain HLL with the standard
+    small-range linear-counting correction, all in scaled-integer
+    arithmetic (see module constants) so DuckDB reproduces it exactly."""
+    bucket, rho = hll_register_cols()
+    regs = (
+        events.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return (
-        folded.select("event_type", est.alias("est_distinct"))
+        hll_fold(regs, ["event_type"])
         .join(exact, "event_type")
         .select("event_type", "est_distinct", "exact_distinct")
     )
@@ -371,4 +385,63 @@ def duckdb_distinct_hll_sql() -> str:
     FROM final f
     JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
           FROM events GROUP BY 1) e USING (event_type)
+    """
+
+
+def duckdb_streaming_hll_sql(
+    minutes: int = WINDOW_MIN, watermark_s: int = 600
+) -> str:
+    """Oracle for the STREAMING windowed HLL: per (closed window,
+    event_type), the same integer-exact estimator over registers built
+    from the same portable hash — restricted to windows whose end has
+    fallen behind the final watermark (append-mode emission rule)."""
+    secs = minutes * 60
+    h = _hll_mix_sql("user_id", _duck_xor)
+    rho = _hll_rho_sql(f"({h} // {HLL_M})")
+    ln_list = "[" + ", ".join(str(v) for v in _HLL_LN_SCALED[1:]) + "]"
+    return f"""
+    WITH hashed AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {secs}) * {secs}
+               AS window_start_s,
+             event_type, ({h}) % {HLL_M} AS bucket, {rho} AS rho
+      FROM events
+    ),
+    regs AS (
+      SELECT window_start_s, event_type, bucket, max(rho) AS m_rho
+      FROM hashed GROUP BY 1, 2, 3
+    ),
+    folded AS (
+      SELECT window_start_s, event_type,
+             count(*) AS n_present,
+             CAST(sum(CAST(1 AS BIGINT) << (24 - m_rho)) AS BIGINT) AS s_present
+      FROM regs GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT window_start_s, event_type,
+             ({HLL_M} - n_present) AS v_empty,
+             s_present + ({HLL_M} - n_present) * (CAST(1 AS BIGINT) << 24)
+               AS s_scaled
+      FROM folded
+    ),
+    raw AS (
+      SELECT window_start_s, event_type, v_empty,
+             CAST(({HLL_ALPHA_MICRO}::BIGINT * {HLL_M} * {HLL_M}
+                   * (CAST(1 AS BIGINT) << 24)) // (s_scaled * 1000000)
+                  AS BIGINT) AS e_raw
+      FROM est
+    ),
+    final AS (
+      SELECT window_start_s, event_type,
+             CASE WHEN v_empty > 0 AND e_raw <= {HLL_LC_THRESHOLD}
+                  THEN CAST(({HLL_M}::BIGINT
+                        * ({_HLL_LN_SCALED[HLL_M]} -
+                           list_extract({ln_list}, CAST(v_empty AS INT))))
+                        // {1 << 20} AS BIGINT)
+                  ELSE e_raw END AS est_distinct
+      FROM raw
+    ),
+    m AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS mt FROM events)
+    SELECT f.window_start_s, f.event_type, f.est_distinct
+    FROM final f, m
+    WHERE f.window_start_s + {secs} <= m.mt - {watermark_s}
     """

@@ -443,3 +443,65 @@ def stream_extract_foreachbatch(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def streaming_distinct_hll(
+    spark: SparkSession,
+    events_path: str,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAMING HyperLogLog: per-window distinct-user estimates where
+    the state store holds SKETCH REGISTERS, not users — the streaming
+    windowed agg maintains max(rho) per (window, event_type, bucket)
+    across micro-batches (state bounded at m=512 rows per group
+    regardless of user cardinality; registers merge by max, which is
+    exactly what an incremental micro-batch update is), append mode
+    emits a window's registers when the watermark closes it, and the
+    shared integer-exact fold (operators.events.hll_fold) finalizes the
+    estimates batch-side. Contract: equals the batch HLL restricted to
+    closed windows (duckdb_streaming_hll_sql)."""
+    from ..operators import events as ev
+
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+    )
+    bucket, rho = ev.hll_register_cols()
+    regs = (
+        stream.select(
+            "ts_tz", "event_type", bucket.alias("bucket"), rho.alias("rho")
+        )
+        .groupBy(
+            F.window("ts_tz", f"{minutes} minutes").alias("w"),
+            "event_type",
+            "bucket",
+        )
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).select(
+        F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+        "event_type",
+        "bucket",
+        "m_rho",
+    )
+    result = ev.hll_fold(emitted, ["window_start_s", "event_type"]).cache()
+    result.count()
+    return result

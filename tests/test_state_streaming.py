@@ -285,3 +285,31 @@ def test_streaming_dedup_rejects_late_first_copies(spark, tmp_path):
     got = stream.streaming_dedup_exact(spark, str(d), watermark="2 hours")
     assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
     got.unpersist()
+
+
+def test_streaming_hll_registers_match_batch_closed_windows(spark):
+    """The streaming sketch's emitted registers, folded with the shared
+    estimator, must equal the batch HLL restricted to closed windows —
+    register-max merging across micro-batches is the whole claim."""
+    import duckdb
+
+    from easyocr_spark.operators import events as E
+
+    ev_path = os.path.join(SF, "events.parquet")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got = stream.streaming_distinct_hll(spark, ev_path)
+        pdf = got.toPandas().sort_values(
+            ["window_start_s", "event_type"]
+        ).reset_index(drop=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{ev_path}'")
+    want = con.execute(E.duckdb_streaming_hll_sql()).fetchdf().sort_values(
+        ["window_start_s", "event_type"]
+    ).reset_index(drop=True)
+    cols = ["window_start_s", "event_type", "est_distinct"]
+    casts = {"window_start_s": "int64", "est_distinct": "int64"}
+    assert pdf[cols].astype(casts).equals(want[cols].astype(casts))
+    got.unpersist()
