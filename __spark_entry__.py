@@ -78,6 +78,15 @@ def q_extract_documents_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction: text spans recurring verbatim across
+    > BOILERPLATE_DF distinct docs are stripped as chrome (cross-doc
+    frequency heuristic, CCNet line-dedup at span grain); media spans
+    always pass."""
+    docs = tables.interleaved_documents(spark, sf_dir)
+    return pipeline.strip_boilerplate(docs)
+
+
 def q_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     refs = _distinct_media(spark, sf_dir)
     return refs.mapInPandas(
@@ -574,6 +583,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "interleave_spans": q_interleave_spans,
         "extract_spans": q_extract_spans,
         "extract_documents_text": q_extract_documents_text,
+        "strip_boilerplate": q_strip_boilerplate,
         "detect_boxes": q_detect_boxes,
         "detect_box_geometry": q_detect_box_geometry,
         "detect_slanted_geometry": q_detect_slanted_geometry,
@@ -654,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN f ON f.doc_id = b.doc_id
             GROUP BY b.doc_id
         """,
+        "strip_boilerplate": pipeline.duckdb_strip_boilerplate_sql(flat),
         "detect_boxes": f"""
             SELECT media_ref, {corpus.duckdb_word_count_expr('media_ref')} AS n_boxes
             FROM ({DUCK_DISTINCT_REFS})

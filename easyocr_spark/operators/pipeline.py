@@ -199,3 +199,54 @@ def extract_documents(
             results_join=results_join,
         )
     )
+
+
+# -------------------------------------------------- main-content filtering
+BOILERPLATE_DF = 1  # a text span shared verbatim by >1 doc is chrome (CCNet line-dedup default)
+
+
+def strip_boilerplate(docs: DataFrame, max_df: int = BOILERPLATE_DF) -> DataFrame:
+    """MAIN-CONTENT extraction over the interleaved table: drop TEXT
+    spans whose exact content recurs across more than ``max_df``
+    distinct documents — the cross-document frequency heuristic that
+    identifies navigation/footer/chrome in web extraction (CCNet's
+    line-level dedup, applied at span grain; the DOM-structural
+    heuristics have no representation in this corpus's data model, so
+    frequency IS the boilerplate signal here). Media spans always pass:
+    they are the payload the OCR stage extracts.
+
+    Plan: one shuffle counts distinct-doc frequency per text digest
+    (the hot set is tiny — only repeated spans survive the HAVING — so
+    the exclusion join broadcasts), then the span scan is re-filtered;
+    linear, no doc-pair join. Output: the surviving flat spans
+    (doc_id, offset, kind, text, media_ref)."""
+    spans = explode_spans(docs)
+    text_spans = spans.filter(F.col("kind") == "text")
+    boiler = (
+        text_spans.groupBy(F.md5("text").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    kept_text = text_spans.join(
+        F.broadcast(boiler), F.md5(text_spans["text"]) == boiler["h"], "left_anti"
+    )
+    media_spans = spans.filter(F.col("kind") == "media")
+    return (
+        kept_text.unionByName(media_spans)
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+    )
+
+
+def duckdb_strip_boilerplate_sql(flat_spans_sql: str, max_df: int = BOILERPLATE_DF) -> str:
+    return f"""
+    WITH f AS ({flat_spans_sql}),
+    boiler AS (
+      SELECT md5(text) AS h FROM f WHERE kind = 'text'
+      GROUP BY 1 HAVING count(DISTINCT doc_id) > {max_df}
+    )
+    SELECT doc_id, "offset", kind, text, media_ref
+    FROM f
+    WHERE kind = 'media'
+       OR (kind = 'text' AND md5(text) NOT IN (SELECT h FROM boiler))
+    """

@@ -178,3 +178,28 @@ def test_flagship_join_parity_broadcast_vs_shuffle_vs_salted(docs, media, spark)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert forced == base
     assert salted == base
+
+
+def test_strip_boilerplate_drops_cross_doc_chrome(spark):
+    """Text spans repeated verbatim across >max_df docs are stripped;
+    unique text spans and ALL media spans survive with order intact."""
+    import pandas as pd
+
+    span = lambda off, kind, text, ref: {"offset": off, "kind": kind, "text": text, "media_ref": ref}
+    rows = [
+        ("doc_a", [span(0, "text", "SUBSCRIBE NOW", ""), span(1, "text", "real content a", ""), span(2, "media", "", "m_1_0")]),
+        ("doc_b", [span(0, "text", "SUBSCRIBE NOW", ""), span(1, "text", "real content b", "")]),
+        ("doc_c", [span(0, "text", "SUBSCRIBE NOW", ""), span(1, "media", "", "m_1_0")]),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id string, spans array<struct<offset:int,kind:string,text:string,media_ref:string>>"
+    )
+    out = pipeline.strip_boilerplate(docs, max_df=2).toPandas()
+    texts = set(zip(out.doc_id, out.text))
+    assert ("doc_a", "SUBSCRIBE NOW") not in texts  # df=3 > 2: stripped
+    assert ("doc_a", "real content a") in texts
+    assert ("doc_b", "real content b") in texts
+    # media spans always pass
+    assert len(out[(out.kind == "media")]) == 2
+    # max_df=3 keeps everything (7 spans total across the three docs)
+    assert pipeline.strip_boilerplate(docs, max_df=3).count() == 7
