@@ -151,7 +151,13 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         ta.token_stats(flat_docs).withColumnRenamed("n_tokens", "n_tokens_ws"),
         "doc_id",
     ))
+    timed("dedup_substring_spans", lambda: dedup.duplicate_spans(
+        dedup.with_mutants(flat_docs)
+    ))
+    timed("lm_cross_entropy", lambda: ta.lm_cross_entropy(flat_docs))
+    timed("strip_boilerplate", lambda: pipeline.strip_boilerplate(docs))
     timed("events_sessionize", lambda: events.sessionize(ev))
+    timed("events_distinct_hll", lambda: events.distinct_users_hll(ev))
 
     extract_sec = timings["extract"]
     result = {
