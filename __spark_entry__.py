@@ -351,6 +351,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(_mutated(spark, sf_dir))
 
 
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end product: per-doc keep/drop — canonical (min id)
+    member of each near-dup component kept, other members dropped,
+    unclustered docs kept (component_id = -1)."""
+    return dedup.dedup_keeplist(_mutated(spark, sf_dir))
+
+
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional exact-substring dedup (Lee et al. shape): maximal
     per-document spans covered by 10-token windows that occur verbatim
@@ -609,6 +616,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_simhash128": q_dedup_simhash128,
         "dedup_components": q_dedup_components,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_keeplist": q_dedup_keeplist,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "lm_cross_entropy": q_lm_cross_entropy,
@@ -734,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash128": dedup.duckdb_simhash128_pairs_sql(mutants),
         "dedup_components": dedup.duckdb_components_sql(mutants),
         "dedup_substring_spans": dedup.duckdb_duplicate_spans_sql(mutants),
+        "dedup_keeplist": dedup.duckdb_keeplist_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),

@@ -877,3 +877,40 @@ def duckdb_duplicate_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
            count(*) AS n_windows
     FROM isl GROUP BY doc_id, island
     """
+
+
+def dedup_keeplist(docs: DataFrame) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: one row per document with the
+    keep/drop decision — keep the canonical representative (minimum
+    doc_id) of every near-dup component, drop the other members, keep
+    everything unclustered. Exact duplicates are covered transitively
+    (identical texts share all shingles -> Jaccard 1 -> same
+    component). Output: (doc_id, keep, component_id) with
+    component_id = -1 for unclustered docs.
+
+    One extra broadcast join over dedup_components' output (the
+    component table holds only docs that appear in near-dup pairs —
+    tiny relative to the corpus at any scale)."""
+    comps = dedup_components(docs).select("doc_id", "component_id")
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(comps), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("component_id").isNull()
+                | (F.col("component_id") == F.col("doc_id"))
+            ).alias("keep"),
+            F.coalesce("component_id", F.lit(-1)).alias("component_id"),
+        )
+    )
+
+
+def duckdb_keeplist_sql(table_sql: str) -> str:
+    return f"""
+    WITH comp AS ({duckdb_components_sql(table_sql)})
+    SELECT d.doc_id,
+           (c.component_id IS NULL OR c.component_id = d.doc_id) AS keep,
+           coalesce(c.component_id, -1) AS component_id
+    FROM ({table_sql}) d LEFT JOIN comp c USING (doc_id)
+    """

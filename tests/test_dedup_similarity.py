@@ -332,3 +332,24 @@ def test_duplicate_spans_exact_boundaries(spark):
     # doc 1: windows 0,1,2 -> [0, 12); window 15 -> [15, 25)
     assert got == {(0, 5, 17), (0, 25, 35), (1, 0, 12), (1, 15, 25)}
     assert 2 not in set(out.doc_id)  # within-doc repetition excluded
+
+
+def test_dedup_keeplist_decisions(spark):
+    """Keep the min-id canonical per component, drop other members,
+    keep unclustered docs with component_id -1."""
+    pdf = pd.DataFrame({
+        "doc_id": [3, 11],
+        "text": [
+            " ".join(f"tok{i}" for i in range(30)),   # %10==3 -> mutant twin
+            " ".join(f"bar{i}" for i in range(30)),   # no twins
+        ],
+    })
+    out = (
+        dedup.dedup_keeplist(dedup.with_mutants(spark.createDataFrame(pdf)))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[3, "keep"]) and out.loc[3, "component_id"] == 3
+    assert not bool(out.loc[3 + dedup.MUTANT_OFFSET, "keep"])
+    assert out.loc[3 + dedup.MUTANT_OFFSET, "component_id"] == 3
+    assert bool(out.loc[11, "keep"]) and out.loc[11, "component_id"] == -1
