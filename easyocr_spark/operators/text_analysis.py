@@ -465,7 +465,14 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
             lambda i: F.col("lt").substr(i, F.lit(2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = low.select("doc_id", F.explode(bigrams_arr).alias("bg"))
+    from pyspark import StorageLevel
+
+    # the bigram stream feeds BOTH the train collect and the scoring
+    # join; persist it so the explode runs once (owned cache: released
+    # after the scored result materializes, minhash-pipeline pattern)
+    bg = low.select("doc_id", F.explode(bigrams_arr).alias("bg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = {
         r["bg"]: int(r["n"])
         for r in bg.groupBy("bg").agg(F.count("*").alias("n")).collect()
@@ -481,7 +488,7 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
     model = spark.createDataFrame(
         model_rows, schema="bg string, logp_milli long"
     )
-    return (
+    out = (
         bg.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
@@ -497,7 +504,11 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
             # the oracle's floor //
             F.expr("bits_milli div n_bigrams").alias("avg_milli_bits"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    bg.unpersist()
+    return out
 
 
 def duckdb_lm_cross_entropy_sql(table_sql: str = "SELECT * FROM documents") -> str:
