@@ -49,6 +49,27 @@ def _previous_round_timings() -> dict[str, float]:
     return record
 
 
+DISPERSION_GUARD = 1.5  # record-less queries: median/best ratio that flags
+DISPERSION_FLOOR_S = 0.5  # sub-second walls jitter >1.5x naturally; ignore
+
+
+def is_suspect(walls: list[float], record: float | None, guard: float) -> bool:
+    """Pure decision: should this query's best wall be flagged as
+    environment noise? With an all-rounds record, flag when the best
+    run still blows past ``guard`` x the record (the sandbox shows
+    random 5-15x throttle slowdowns after sustained load). With NO
+    record (first appearance — the case r4's knn_ivf/hll/substring
+    walls slipped through), fall back to within-round dispersion: if
+    the median repeat exceeds 1.5x the best, the box was throttling
+    MID-measurement and even the best wall is untrustworthy. Sub-second
+    bests are exempt from the dispersion test (natural jitter)."""
+    best = min(walls)
+    if record:
+        return best > guard * record
+    med = sorted(walls)[len(walls) // 2]
+    return best > DISPERSION_FLOOR_S and med > DISPERSION_GUARD * best
+
+
 def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
@@ -90,10 +111,15 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         ).collect()
         return row[0]["h"] or 0
 
-    def timed(name: str, df_fn, runs: int = 2, guard: float = 5.0,
+    def timed(name: str, df_fn, runs: int = 2, guard: float = 3.0,
               cooldown: float = 0.0) -> None:
         # best-of-N: single-shot walls swing ~3x with JVM warm-up/GC
-        # timing; capacity is the fastest run
+        # timing; capacity is the fastest run. First-appearance queries
+        # get a third run so the dispersion fallback in is_suspect has
+        # a usable median.
+        record = prev.get(name)
+        if not record:
+            runs = max(runs, 3)
         walls = []
         for _ in range(runs):
             if cooldown:
@@ -104,16 +130,17 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         # self-defense against sandbox throttling (the box shows random
         # 5-15x slowdowns after sustained load — r2's knn_brute=62.9s and
         # r3's extract=6.76s were both verified noise): if the best run
-        # blows past `guard`x the all-rounds record, re-run once; if it
-        # STILL does, flag it in the JSON so a throttled wall can't
-        # masquerade as a regression.
-        if prev.get(name) and min(walls) > guard * prev[name]:
+        # looks suspect vs the all-rounds record (or, for record-less
+        # queries, by within-round dispersion), re-run once; if it STILL
+        # does, flag it in the JSON so a throttled wall can't masquerade
+        # as a regression.
+        if is_suspect(walls, record, guard):
             if cooldown:
                 time.sleep(cooldown)
             t0 = time.time()
             checksum(df_fn())
             walls.append(time.time() - t0)
-            if min(walls) > guard * prev[name]:
+            if is_suspect(walls, record, guard):
                 outliers.append(name)
         timings[name] = round(min(walls), 3)
 
@@ -175,9 +202,11 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         "media_spec_version": media_spec_version,
         "n_media": n_media,
         "total_sec": round(sum(timings.values()), 2),
-        # queries whose wall exceeded 5x the previous round's record
-        # even after a third run — treat as environment noise, not a
-        # regression, unless they repeat across rounds
+        # queries whose wall exceeded the guard (3x the all-rounds
+        # record; 1.3x for the flagship; within-round dispersion for
+        # first appearances) even after an extra run — treat as
+        # environment noise, not a regression, unless they repeat
+        # across rounds
         "suspect_outliers": outliers,
     }
     spark.stop()

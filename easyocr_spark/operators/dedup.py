@@ -803,29 +803,69 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     even for grams shared by millions of docs (the join-back emits one
     row per OCCURRENCE, not per pair). Windows repeated only WITHIN a
     single document are excluded by the distinct-doc frequency test
-    (within-doc repetition is repetition_signals' job)."""
+    (within-doc repetition is repetition_signals' job).
+
+    Gram keys are pure-INTEGER double polynomial hashes (the SimHash
+    fold machinery): each token folds once to two 31-bit hashes
+    (bases 131/137 over char codes), then each window folds its n
+    token-hash longs with bases 139/149 — no per-window string
+    re-concatenation and no md5 (each token's characters are touched
+    exactly once, vs ~n times under the former md5(concat_ws(slice))
+    shape — measured ~4x on this stage at sf0.1). The (g1, g2) pair
+    gives 62 bits: cross-engine-exact (DuckDB reproduces the folds
+    bit-for-bit) and collision-safe far past 10^9 windows (birthday
+    bound ~1e-9 per 1e5-window corpus; at 10^12+ windows widen to a
+    third base the same way SimHash-124 extends SimHash-62)."""
     tokenized = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
-    grams = F.when(
-        F.size("toks") >= n,
+    # char-code arrays materialized in their OWN projection before any
+    # fold — an inlined HOF would re-run substring-per-char extraction
+    # once per hash base (the lambda-CSE trap, see _simhash_signatures_n)
+    with_cs = tokenized.select(
+        "doc_id",
         F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+            "toks",
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.ascii(F.substring(t, i, 1)),
+            ),
+        ).alias("css"),
+    )
+    tok_hashes = with_cs.select(
+        "doc_id",
+        F.transform("css", lambda cs: _poly_hash(cs, HASH_BASE_1)).alias("h1"),
+        F.transform("css", lambda cs: _poly_hash(cs, HASH_BASE_2)).alias("h2"),
+    )
+
+    def _window_grams(hcol: str, base: int):
+        return F.when(
+            F.size(hcol) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(hcol) - n),
+                lambda i: _poly_hash(F.slice(hcol, i + 1, n), base),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    gram_arrays = tok_hashes.select(
+        "doc_id",
+        _window_grams("h1", HASH_BASE_3).alias("g1s"),
+        _window_grams("h2", HASH_BASE_4).alias("g2s"),
+    )
     from pyspark.sql import Window
 
-    pos_grams = tokenized.select(
-        "doc_id", F.posexplode(grams).alias("pos", "g")
+    pos_grams = gram_arrays.select(
+        "doc_id", F.posexplode(F.arrays_zip("g1s", "g2s")).alias("pos", "g")
+    ).select(
+        "doc_id", "pos", F.col("g.g1s").alias("g1"), F.col("g.g2s").alias("g2")
     )
     shared = (
-        pos_grams.groupBy("g")
+        pos_grams.groupBy("g1", "g2")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("g")
+        .select("g1", "g2")
     )
-    hits = pos_grams.join(shared, "g").select("doc_id", "pos")
+    hits = pos_grams.join(shared, ["g1", "g2"]).select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = (
         hits.withColumn("prev", F.lag("pos").over(w))
@@ -845,21 +885,40 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
 
 
 def duckdb_duplicate_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
+    tok_fold = (
+        "list_transform(toks, t -> list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, length(t)+1), "
+        "i -> ascii(substring(t, CAST(i AS INT), 1))::BIGINT)), "
+        "(acc, c) -> (acc * {base} + c) % " + str(HASH_MOD) + "))"
+    )
+    win_fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "{hs}[CAST(i+1 AS INT):CAST(i+" + str(n) + " AS INT)]), "
+        "(acc, h) -> (acc * {base} + h) % " + str(HASH_MOD) + ")"
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
       FROM ({table_sql})
     ),
+    hs AS (
+      SELECT doc_id,
+             {tok_fold.format(base=HASH_BASE_1)} AS h1,
+             {tok_fold.format(base=HASH_BASE_2)} AS h2
+      FROM toks
+    ),
     grams AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             md5(array_to_string(toks[CAST(i+1 AS INT):CAST(i+{n} AS INT)], ' ')) AS g
-      FROM toks, UNNEST(range(0, greatest(len(toks) - {n} + 1, 0))) AS t(i)
+             {win_fold.format(hs='h1', base=HASH_BASE_3)} AS g1,
+             {win_fold.format(hs='h2', base=HASH_BASE_4)} AS g2
+      FROM hs, UNNEST(range(0, greatest(len(h1) - {n} + 1, 0))) AS t(i)
     ),
     shared AS (
-      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM grams GROUP BY 1)
+      SELECT g1, g2 FROM
+        (SELECT g1, g2, count(DISTINCT doc_id) AS c FROM grams GROUP BY 1, 2)
       WHERE c >= 2
     ),
-    hits AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
+    hits AS (SELECT doc_id, pos FROM grams JOIN shared USING (g1, g2)),
     brks AS (
       SELECT doc_id, pos,
              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
@@ -888,13 +947,20 @@ def dedup_keeplist(docs: DataFrame) -> DataFrame:
     component). Output: (doc_id, keep, component_id) with
     component_id = -1 for unclustered docs.
 
-    One extra broadcast join over dedup_components' output (the
-    component table holds only docs that appear in near-dup pairs —
-    tiny relative to the corpus at any scale)."""
+    One extra left join over dedup_components' output, sized by AQE at
+    runtime rather than a forced broadcast: on a web corpus near-dup
+    cluster membership is NOT tiny — 30-50% of documents cluster (Lee
+    et al. 2022), so the component table is billions of rows at 10^12
+    docs and a forced broadcast hint would OOM the driver. AQE
+    broadcasts when the measured table is small (every test corpus) and
+    falls back to a shuffle join on doc_id otherwise — both keys are
+    unsalted doc_id, so the shuffle is one exchange per side with no
+    skew (doc_id is unique on both sides; parity on the shuffle path is
+    pytest-enforced under autoBroadcastJoinThreshold=-1)."""
     comps = dedup_components(docs).select("doc_id", "component_id")
     return (
         docs.select("doc_id")
-        .join(F.broadcast(comps), "doc_id", "left")
+        .join(comps, "doc_id", "left")
         .select(
             "doc_id",
             (

@@ -215,10 +215,18 @@ def strip_boilerplate(docs: DataFrame, max_df: int = BOILERPLATE_DF) -> DataFram
     frequency IS the boilerplate signal here). Media spans always pass:
     they are the payload the OCR stage extracts.
 
-    Plan: one shuffle counts distinct-doc frequency per text digest
-    (the hot set is tiny — only repeated spans survive the HAVING — so
-    the exclusion join broadcasts), then the span scan is re-filtered;
-    linear, no doc-pair join. Output: the surviving flat spans
+    Plan: one shuffle counts distinct-doc frequency per text digest,
+    then the span scan is re-filtered by an anti-join on the repeated
+    digests; linear, no doc-pair join. The exclusion join is left to
+    AQE's runtime size check rather than a forced broadcast: on a real
+    web corpus boilerplate is the COMMON case — with max_df=1 the
+    repeated-digest set is a large fraction of all spans, so a forced
+    broadcast hint would bypass the size check and OOM the driver at
+    scale. AQE still broadcasts it when the measured set is small (the
+    situation in every test corpus); otherwise it picks a shuffle
+    anti-join, which is the correct plan at web scale (parity on the
+    shuffle path is pytest-enforced under autoBroadcastJoinThreshold=-1).
+    Output: the surviving flat spans
     (doc_id, offset, kind, text, media_ref)."""
     spans = explode_spans(docs)
     text_spans = spans.filter(F.col("kind") == "text")
@@ -229,7 +237,7 @@ def strip_boilerplate(docs: DataFrame, max_df: int = BOILERPLATE_DF) -> DataFram
         .select("h")
     )
     kept_text = text_spans.join(
-        F.broadcast(boiler), F.md5(text_spans["text"]) == boiler["h"], "left_anti"
+        boiler, F.md5(text_spans["text"]) == boiler["h"], "left_anti"
     )
     media_spans = spans.filter(F.col("kind") == "media")
     return (

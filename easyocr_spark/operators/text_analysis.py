@@ -443,15 +443,26 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
     character statistics; the Gopher/CCNet recipe uses a trained LM,
     this is its deterministic self-fit analogue).
 
-    Two passes, classic Spark shape: (1) TRAIN — one shuffle counts the
-    corpus bigram table (bounded by the character alphabet squared, so
-    it collects to the driver like an IVF codebook); per-bigram
-    surprisal is frozen driver-side as floor(1000 * (log2(count(c1·))
-    - log2(count(c1c2)))) MILLI-BITS — an integer, so (2) SCORE is a
-    broadcast join + pure-integer per-doc sum with no float-order
-    sensitivity. The oracle recomputes the same surprisal with
-    DuckDB's log2 (same libm as CPython's math.log2 on this host, and
-    the value is floored, so the integers agree exactly).
+    Two passes, classic Spark shape over a PRE-AGGREGATED tf table
+    (the SimHash-pipeline pattern): the per-character exploded stream
+    is folded to (doc_id, bg, cnt) in ONE map-side-combining shuffle —
+    everything downstream (the train collect, the broadcast scoring
+    join, the per-doc fold) runs on the compressed table, smaller than
+    the raw stream by the per-doc bigram repetition factor, at zero
+    semantic cost (sum(cnt*logp) == the per-occurrence sum). (1) TRAIN
+    counts the corpus bigram table and collects it to the driver like
+    an IVF codebook — the collect is bounded by the character ALPHABET
+    SQUARED, fine for any single-script corpus (~10^4 entries) but a
+    real memory bound for full-unicode CJK text where char-bigram
+    cardinality reaches 1e8+: there, keep the model distributed and
+    replace the collect+broadcast with a DataFrame join of counts
+    against per-prefix totals. Per-bigram surprisal is frozen
+    driver-side as floor(1000 * (log2(count(c1·)) - log2(count(c1c2))))
+    MILLI-BITS — an integer, so (2) SCORE is a broadcast join +
+    pure-integer per-doc sum with no float-order sensitivity. The
+    oracle recomputes the same surprisal with DuckDB's log2 (same libm
+    as CPython's math.log2 on this host, and the value is floored, so
+    the integers agree exactly).
 
     Output: (doc_id, n_bigrams, bits_milli, avg_milli_bits) for docs
     with at least one bigram."""
@@ -467,15 +478,18 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     from pyspark import StorageLevel
 
-    # the bigram stream feeds BOTH the train collect and the scoring
-    # join; persist it so the explode runs once (owned cache: released
+    # the tf table feeds BOTH the train collect and the scoring join;
+    # persist it so the explode+fold runs once (owned cache: released
     # after the scored result materializes, minhash-pipeline pattern)
-    bg = low.select("doc_id", F.explode(bigrams_arr).alias("bg")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    tf = (
+        low.select("doc_id", F.explode(bigrams_arr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = {
         r["bg"]: int(r["n"])
-        for r in bg.groupBy("bg").agg(F.count("*").alias("n")).collect()
+        for r in tf.groupBy("bg").agg(F.sum("cnt").alias("n")).collect()
     }
     tot: dict[str, int] = {}
     for b, n in counts.items():
@@ -489,11 +503,11 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
         model_rows, schema="bg string, logp_milli long"
     )
     out = (
-        bg.join(F.broadcast(model), "bg")
+        tf.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("logp_milli").alias("bits_milli"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("logp_milli")).alias("bits_milli"),
         )
         .select(
             "doc_id",
@@ -507,7 +521,7 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out.count()
-    bg.unpersist()
+    tf.unpersist()
     return out
 
 

@@ -25,12 +25,34 @@ import re
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import pipeline
+
+STREAM_SHUFFLE_CAP = 8
+
+
+@contextmanager
+def _clamped_shuffle(spark: SparkSession, cap: int = STREAM_SHUFFLE_CAP):
+    """Cap spark.sql.shuffle.partitions for the duration of a streaming
+    run (restored after). Every stateful streaming operator materializes
+    one state-store instance PER shuffle partition PER micro-batch — at
+    local[32] that is 32 store checkpoints per stateful stage for a
+    stream whose state fits in one, and the fixed store setup/commit
+    cost dominates toy-to-moderate streams. On a real cluster the cap
+    is a tuning knob sized to state volume, not a semantic change: the
+    partitioning is baked into each query's own fresh checkpoint."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(old) > cap:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def streaming_windowed_counts(
@@ -61,14 +83,15 @@ def streaming_windowed_counts(
         )
     )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _clamped_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name).select(
         F.unix_seconds(F.col("w.start")).alias("window_start_s"),
         "event_type",
@@ -125,15 +148,16 @@ def streaming_windowed_append(
             "value_sum_milli",
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _clamped_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -294,14 +318,15 @@ def streaming_sessionize_stateful(
         GroupStateTimeout.EventTimeTimeout,
     )
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _clamped_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = spark.table(name).cache()
     result.count()
     return result
@@ -388,14 +413,15 @@ def streaming_dedup_exact(
     )
     deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _clamped_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = spark.table(name).select("event_id").cache()
     result.count()
     return result
@@ -488,14 +514,15 @@ def streaming_distinct_hll(
         .agg(F.max("rho").alias("m_rho"))
     )
     name = f"stream_hll_{uuid.uuid4().hex[:8]}"
-    q = (
-        regs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _clamped_shuffle(spark):
+        q = (
+            regs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     emitted = spark.table(name).select(
         F.unix_seconds(F.col("w.start")).alias("window_start_s"),
         "event_type",

@@ -353,3 +353,29 @@ def test_dedup_keeplist_decisions(spark):
     assert not bool(out.loc[3 + dedup.MUTANT_OFFSET, "keep"])
     assert out.loc[3 + dedup.MUTANT_OFFSET, "component_id"] == 3
     assert bool(out.loc[11, "keep"]) and out.loc[11, "component_id"] == -1
+
+
+def test_dedup_keeplist_shuffle_parity(spark):
+    """At web scale the component table (30-50% of the corpus) is not
+    broadcastable: with broadcast disabled the keeplist left join must
+    take a shuffle shape and produce identical decisions."""
+    pdf = pd.DataFrame({
+        "doc_id": [3, 11, 23],
+        "text": [
+            " ".join(f"tok{i}" for i in range(30)),
+            " ".join(f"bar{i}" for i in range(30)),
+            " ".join(f"baz{i}" for i in range(30)),
+        ],
+    })
+    docs = dedup.with_mutants(spark.createDataFrame(pdf))
+    base = set(map(tuple, dedup.dedup_keeplist(docs).toPandas().itertuples(index=False)))
+    old = docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        docs.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced_df = dedup.dedup_keeplist(docs)
+        plan = forced_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        forced = set(map(tuple, forced_df.toPandas().itertuples(index=False)))
+    finally:
+        docs.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert forced == base

@@ -203,3 +203,26 @@ def test_strip_boilerplate_drops_cross_doc_chrome(spark):
     assert len(out[(out.kind == "media")]) == 2
     # max_df=3 keeps everything (7 spans total across the three docs)
     assert pipeline.strip_boilerplate(docs, max_df=3).count() == 7
+
+
+def test_strip_boilerplate_shuffle_parity(docs, spark):
+    """The at-scale path: with broadcast disabled the exclusion
+    anti-join must take a shuffle shape (on a web corpus the repeated-
+    digest set is NOT broadcastable — boilerplate is the common case)
+    and produce exactly the spans the AQE/broadcast plan does."""
+    def _key(df):
+        return set(map(tuple, df.select(
+            "doc_id", "offset", "kind", "text", "media_ref"
+        ).toPandas().itertuples(index=False)))
+
+    base = _key(pipeline.strip_boilerplate(docs))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced_df = pipeline.strip_boilerplate(docs)
+        plan = forced_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        forced = _key(forced_df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert forced == base

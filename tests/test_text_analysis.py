@@ -92,6 +92,25 @@ def test_bench_previous_round_timings_rolling_min(tmp_path, monkeypatch):
     }
 
 
+def test_bench_is_suspect_flags_inflated_walls():
+    """The r4 gap: a FIRST-appearance query measured inside a throttle
+    window (no all-rounds record to compare against) must still get
+    flagged — by within-round dispersion — and a recorded query's guard
+    is 3x, not the old 5x that let knn_ivf's 2.2x-throttled wall pass
+    unflagged."""
+    import bench
+
+    # record-less + throttle hit mid-measurement: median repeat >1.5x
+    # the best -> the environment is unstable, flag
+    assert bench.is_suspect([8.0, 9.0, 1.2], None, 3.0) is True
+    assert bench.is_suspect([2.0, 2.1, 2.05], None, 3.0) is False  # stable -> trust
+    # sub-second walls jitter naturally; never flagged by dispersion
+    assert bench.is_suspect([0.2, 0.9, 0.4], None, 3.0) is False
+    # with a record: 3x guard fires, 5x-era drift (2.2x) passes
+    assert bench.is_suspect([7.0, 8.0], 2.0, 3.0) is True
+    assert bench.is_suspect([4.4, 5.0], 2.0, 3.0) is False
+
+
 def test_repetition_signals(spark):
     rows = [
         (0, "a b a b a b"),          # bigram 'a b' dominates
