@@ -39,6 +39,36 @@ EN_G2_CHARSET = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 )
 
+# charset: reference easyocr/config.py 'cyrillic_g2'.characters (207
+# chars; the model the reference auto-router actually selects for
+# cyrillic languages — NOT the gen1 'cyrillic_g1', which exists in the
+# reference config but is never auto-chosen). Plain literals are safe
+# here (no combining marks, unlike the gen1 arabic charset); the exact
+# sequence is byte-matched to the reference config by
+# test_gen2_charsets_bytematch_reference_config.
+CYRILLIC_G2_CHARSET = (
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ €₽"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "АБВГДЕЁЖЗИЙ"
+    "КЛМНОПРСТУФ"
+    "ХЦЧШЩЪЫЬЭЮЯ"
+    "абвгдеёжзий"
+    "клмнопрстуф"
+    "хцчшщъыьэюя"
+    "ЂђЃѓЄєІіЇїЈ"
+    "јЉљЊњЋћЌќЎў"
+    "ЏџҐґҒғҚқҮүҲ"
+    "ҳҶҷӀӏӢӣӨөӮӯ"
+)
+
+# gen2 model registry: model key -> (weights filename, charset) —
+# reference config.py 'english_g2' / 'cyrillic_g2'. The VGG+BiLSTM+CTC
+# graph is SHARED; only the CTC head width (len(charset)+1) differs.
+GEN2_MODELS = {
+    "english": ("english_g2.pth", EN_G2_CHARSET),
+    "cyrillic": ("cyrillic_g2.pth", CYRILLIC_G2_CHARSET),
+}
+
 
 def build_model(num_class: int = len(EN_G2_CHARSET) + 1):
     import torch.nn as nn
@@ -175,12 +205,16 @@ class TorchCrnnRecognizer:
     index 0 — the same contract the stand-in's _frames_for_chunk
     produces, so ocr/ctc.py decoders apply unchanged."""
 
-    def __init__(self, weights_path: str | None = None, quantize: bool = False):
+    def __init__(self, weights_path: str | None = None, quantize: bool = False,
+                 model: str = "english"):
         from . import weights_dir
 
-        path = weights_path or os.path.join(weights_dir(), "english_g2.pth")
-        self.model = load_weights(build_model(), path, quantize=quantize)
-        self.charset = EN_G2_CHARSET
+        filename, charset = GEN2_MODELS[model]
+        path = weights_path or os.path.join(weights_dir(), filename)
+        self.model = load_weights(
+            build_model(len(charset) + 1), path, quantize=quantize
+        )
+        self.charset = charset
 
     def recognize_probs(self, crop: np.ndarray) -> np.ndarray:
         import torch

@@ -24,23 +24,33 @@ from .torch_crnn import TorchCrnnRecognizer
 CONTRAST_THS = 0.1
 ADJUST_CONTRAST = 0.5
 
-# (lang codes, gen1 model key) in priority order — codes from reference
-# easyocr/config.py:34-40 script lists; keys into torch_resnet.GEN1_MODELS
+# (lang codes, gen1 model key) in the reference auto-router's EXACT
+# priority order (easyocr/easyocr.py:111-168 elif chain: th ... ta,
+# bengali, arabic, devanagari, cyrillic) — codes from reference
+# easyocr/config.py:34-40 script lists; keys into
+# torch_resnet.GEN1_MODELS. The chain order is load-bearing for mixed
+# lang_lists: ['bn','ar'] must pick bengali (not arabic) and
+# ['ta','hi'] must pick tamil (not devanagari), matching upstream.
 GEN1_LANG_ROUTES = (
     (("th",), "thai"),
+    (("ta",), "tamil"),
+    (("bn", "as", "mni"), "bengali"),
     (("ar", "fa", "ug", "ur"), "arabic"),
     (
         ("hi", "mr", "ne", "bh", "mai", "ang", "bho", "mah", "sck", "new",
          "gom", "sa", "bgc"),
         "devanagari",
     ),
-    (("bn", "as", "mni"), "bengali"),
-    (("ta",), "tamil"),
-    (
-        ("ru", "rs_cyrillic", "be", "bg", "uk", "mn", "abq", "ady", "kbd",
-         "ava", "dar", "inh", "che", "lbe", "lez", "tab", "tjk"),
-        "cyrillic",
-    ),
+)
+
+# cyrillic comes LAST in the reference chain and routes to the GEN2
+# 'cyrillic_g2' model (easyocr/easyocr.py:160-164) — the gen1
+# 'cyrillic_g1' exists in the reference config but is never
+# auto-selected, so this router mirrors upstream and sends cyrillic to
+# the gen2 VGG with the cyrillic_g2 charset (torch_crnn.GEN2_MODELS).
+CYRILLIC_LANGS = (
+    "ru", "rs_cyrillic", "be", "bg", "uk", "mn", "abq", "ady", "kbd",
+    "ava", "dar", "inh", "che", "lbe", "lez", "tab", "tjk",
 )
 
 
@@ -63,10 +73,12 @@ class TorchReader:
         self.decoder = decoder
         self.detector = TorchCraftDetector(craft_weights, quantize=quantize)
         # per-script model routing, mirroring the reference's
-        # gen2-vs-gen1 choice (easyocr/easyocr.py:95-135) and its
-        # script lang-code lists (easyocr/config.py:34-40): thai/
-        # arabic/devanagari/bengali/tamil/cyrillic route to the gen1
-        # ResNet family, latin to the gen2 VGG
+        # gen2-vs-gen1 choice (easyocr/easyocr.py:111-168) and its
+        # script lang-code lists (easyocr/config.py:34-40): thai/tamil/
+        # bengali/arabic/devanagari route to the gen1 ResNet family (in
+        # the reference elif-chain order), cyrillic to the gen2 VGG
+        # with the cyrillic_g2 charset, everything else to english/latin
+        # gen2
         gen1_lang = next(
             (
                 lang
@@ -80,6 +92,10 @@ class TorchReader:
 
             self.recognizer = TorchGen1Recognizer(
                 gen1_lang, crnn_weights, quantize=quantize
+            )
+        elif any(code in self.lang_list for code in CYRILLIC_LANGS):
+            self.recognizer = TorchCrnnRecognizer(
+                crnn_weights, quantize=quantize, model="cyrillic"
             )
         else:
             self.recognizer = TorchCrnnRecognizer(crnn_weights, quantize=quantize)

@@ -625,10 +625,17 @@ def _py_normalize(vals) -> list[float]:
     the index-order left fold, then per-element division — the same
     doubles numpy's per-dim accumulation and DuckDB's list_transform
     produce. PQ quantizes the UNIT SPHERE so ADC's L2 ranking agrees
-    with the cosine metric (||u - v||^2 = 2 - 2 cos for unit vectors)."""
+    with the cosine metric (||u - v||^2 = 2 - 2 cos for unit vectors).
+
+    Zero-norm discipline (the ivf_topk pin pattern): a zero vector
+    stays zero instead of raising ZeroDivisionError — its sub-distances
+    against any centroid are then d2(0, c), defined and deterministic,
+    and the exact re-rank excludes it via the q_n2/n_n2 guard."""
     import math
 
     n2 = _py_norm2(vals)
+    if n2 == 0.0:
+        return [0.0 for _ in vals]
     inv = math.sqrt(n2)
     return [float(v) / inv for v in vals]
 
@@ -688,11 +695,15 @@ def pq_topk(
             if not len(pdf):
                 continue
             emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            # unit-normalize with the fold-order norm (see _py_normalize)
+            # unit-normalize with the fold-order norm (see _py_normalize);
+            # zero-norm rows divide by 1 and stay zero — their codes are
+            # the deterministic argmin of d2(0, c), no NaN argmin over
+            # an all-NaN row (the ivf_topk zero-norm discipline)
             n2 = np.zeros(len(emb))
             for d in range(emb.shape[1]):
                 n2 += emb[:, d] * emb[:, d]
-            emb = emb / np.sqrt(n2)[:, None]
+            denom = np.where(n2 > 0.0, np.sqrt(n2), 1.0)
+            emb = emb / denom[:, None]
             codes = np.empty((len(emb), nsub), dtype=np.int32)
             for m in range(nsub):
                 acc = np.zeros((len(emb), ksub))
@@ -783,14 +794,22 @@ def pq_topk(
     w_cos = Window.partitionBy("query_id").orderBy(
         F.col("cos_micro").desc(), F.col("neighbor_id").asc()
     )
+    # ranks-last sentinel for zero-norm rows that reach the shortlist —
+    # never ANSI DIVIDE_BY_ZERO in the exact re-rank (ivf_topk pattern)
+    sentinel = F.lit(-(1 << 63)).cast("long")
     return (
         shortlist.select(
             "query_id",
             "neighbor_id",
             "adc_micro",
-            cos_micro_pre(
-                F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
-            ).alias("cos_micro"),
+            F.when(
+                (F.col("q_n2") > 0) & (F.col("n_n2") > 0),
+                cos_micro_pre(
+                    F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
+                ),
+            )
+            .otherwise(sentinel)
+            .alias("cos_micro"),
         )
         .withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= k)

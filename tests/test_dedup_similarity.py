@@ -162,6 +162,30 @@ def test_ivf_topk_zero_norm_and_empty_codebook(spark, emb):
         similarity.ivf_topk(no_cents, k=3)
 
 
+def test_pq_topk_zero_norm_and_empty_codebook(spark, emb):
+    """ADVICE r4: pq_topk gets the same zero-norm discipline ivf_topk
+    has — a zero-norm vector in the corpus (and even in the TRAINING
+    subset) must neither raise ZeroDivisionError in _py_normalize nor
+    NaN-argmin in encode nor DIVIDE_BY_ZERO in the exact re-rank; and
+    an input with no training rows must raise clearly."""
+    # id 43: % CENTROID_MOD(20) == 3 -> lands IN the training subset,
+    # exercising the _py_normalize zero guard too
+    with_zero = emb.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"vec_id": [43], "embedding": [[0.0] * 8]})
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+    )
+    out = similarity.pq_topk(with_zero, k=3).toPandas()
+    assert len(out) > 0  # runs clean end-to-end
+    # the pure-python normalize guard directly
+    assert similarity._py_normalize([0.0, 0.0]) == [0.0, 0.0]
+    no_train = emb.filter(F.col("vec_id") % similarity.CENTROID_MOD != 3)
+    with pytest.raises(ValueError, match="empty codebook"):
+        similarity.pq_topk(no_train, k=3)
+
+
 def test_ivf_topk_recall_vs_brute(emb):
     """IVF with nprobe=2 over a 40-vector corpus: candidates are a
     corpus subset, so ranks are exact-within-list; recall@3 vs brute
