@@ -358,6 +358,17 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keeplist(_mutated(spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Llama recipe): per training
+    doc, how many of its distinct 10-token grams appear anywhere in
+    the deterministic eval split (doc_id % 100 == 7) — integer
+    double-poly gram keys, one gram scan, left-semi join, no pair
+    join."""
+    return dedup.decontaminate(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional exact-substring dedup (Lee et al. shape): maximal
     per-document spans covered by 10-token windows that occur verbatim
@@ -402,6 +413,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: the pack manifest
+    mapping each document's token ranges into fixed-length training
+    sequences, shard-local so packing parallelizes (shard = doc_id %
+    n_shards, per-shard cumsum window, boundary docs split across
+    adjacent sequences)."""
+    return ta.sequence_pack(tables.read_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------- similarity
@@ -617,6 +637,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_components": q_dedup_components,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_keeplist": q_dedup_keeplist,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "lm_cross_entropy": q_lm_cross_entropy,
@@ -626,6 +647,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
+        "sequence_pack": q_sequence_pack,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -743,6 +765,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": dedup.duckdb_components_sql(mutants),
         "dedup_substring_spans": dedup.duckdb_duplicate_spans_sql(mutants),
         "dedup_keeplist": dedup.duckdb_keeplist_sql(mutants),
+        "decontaminate": dedup.duckdb_decontaminate_sql(
+            "SELECT * FROM documents"
+        ),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),
@@ -752,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
+        "sequence_pack": ta.duckdb_sequence_pack_sql(),
         "knn_brute": similarity.duckdb_brute_topk_sql(),
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),
         "knn_ivf": similarity.duckdb_ivf_topk_sql(),

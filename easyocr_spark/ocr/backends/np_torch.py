@@ -88,6 +88,23 @@ def no_grad():
     yield
 
 
+def load(path, map_location=None):
+    """Synthetic-checkpoint loader: a pickled dict of numpy arrays
+    stands in for a .pth state_dict (tests generate them from the
+    recorded checkpoint manifests)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save(obj, path) -> None:
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
 class Parameter(np.ndarray):
     pass
 
@@ -132,6 +149,50 @@ class Module:
         for n, m in self._modules.items():
             out.update(m.state_dict(prefix + n + "."))
         return out
+
+    def _named_slots(self, prefix: str = "") -> dict:
+        """Dotted name -> (owner module, attr, kind) for every
+        parameter and buffer — the write-side mirror of state_dict."""
+        out = {}
+        for n in self._params:
+            out[prefix + n] = (self, n, "param")
+        for n in self._buffers:
+            out[prefix + n] = (self, n, "buffer")
+        for n, m in self._modules.items():
+            out.update(m._named_slots(prefix + n + "."))
+        return out
+
+    def load_state_dict(self, state: dict, strict: bool = True):
+        """torch-parity semantics: strict=True raises on missing or
+        unexpected keys, and every value must match the slot's shape —
+        so a synthetic checkpoint exercises the remap/bijection exactly
+        the way real torch loading would."""
+        slots = self._named_slots()
+        missing = sorted(set(slots) - set(state))
+        unexpected = sorted(set(state) - set(slots))
+        if strict and (missing or unexpected):
+            raise KeyError(
+                f"load_state_dict: missing={missing[:5]} "
+                f"unexpected={unexpected[:5]}"
+            )
+        for k, v in state.items():
+            if k not in slots:
+                continue
+            owner, attr, kind = slots[k]
+            cur = np.asarray(getattr(owner, attr))
+            arr = np.asarray(v)
+            if tuple(arr.shape) != tuple(cur.shape):
+                raise ValueError(
+                    f"load_state_dict: shape mismatch for {k}: "
+                    f"{arr.shape} vs {cur.shape}"
+                )
+            if kind == "param":
+                owner._params[attr] = arr.view(Parameter)
+                object.__setattr__(owner, attr, owner._params[attr])
+            else:
+                owner._buffers[attr] = arr
+                object.__setattr__(owner, attr, arr)
+        return self
 
 
 class Sequential(Module):
@@ -376,7 +437,8 @@ def installed():
     f_mod.interpolate = interpolate
     nn_mod.functional = f_mod
     torch_mod = types.ModuleType("torch")
-    for name in ("cat", "from_numpy", "no_grad", "softmax", "zeros", "Tensor"):
+    for name in ("cat", "from_numpy", "no_grad", "softmax", "zeros", "Tensor",
+                 "load", "save"):
         setattr(torch_mod, name, getattr(me, name))
     torch_mod.nn = nn_mod
     saved = {

@@ -786,36 +786,13 @@ def duckdb_simhash128_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> s
 SUBSTR_N = 10  # token-window width for exact substring dedup
 
 
-def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
-    """Positional EXACT-SUBSTRING dedup (the Lee et al. 2022
-    "Deduplicating Training Data" shape): find every n-token window
-    whose exact text occurs in >= 2 DISTINCT documents, then merge each
-    document's overlapping/adjacent duplicate windows into maximal
-    spans — the per-document regions a training pipeline would mask or
-    drop. Output: (doc_id, span_start, span_end_excl, n_windows) in
-    token positions.
-
-    Unlike the pairwise Jaccard family this never joins documents
-    against each other: one shuffle counts per-gram document frequency,
-    one joins the duplicated grams back to their positions, and a
-    lag+cumsum gaps-and-islands window merges windows per document —
-    every stage linear in total token count, no quadratic pair blowup
-    even for grams shared by millions of docs (the join-back emits one
-    row per OCCURRENCE, not per pair). Windows repeated only WITHIN a
-    single document are excluded by the distinct-doc frequency test
-    (within-doc repetition is repetition_signals' job).
-
-    Gram keys are pure-INTEGER double polynomial hashes (the SimHash
-    fold machinery): each token folds once to two 31-bit hashes
-    (bases 131/137 over char codes), then each window folds its n
-    token-hash longs with bases 139/149 — no per-window string
-    re-concatenation and no md5 (each token's characters are touched
-    exactly once, vs ~n times under the former md5(concat_ws(slice))
-    shape — measured ~4x on this stage at sf0.1). The (g1, g2) pair
-    gives 62 bits: cross-engine-exact (DuckDB reproduces the folds
-    bit-for-bit) and collision-safe far past 10^9 windows (birthday
-    bound ~1e-9 per 1e5-window corpus; at 10^12+ windows widen to a
-    third base the same way SimHash-124 extends SimHash-62)."""
+def _pos_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, g1, g2): every n-token window's position and its
+    62-bit integer gram key — two independent 31-bit double polynomial
+    folds (token chars once with bases 131/137, then the n token-hash
+    longs with bases 139/149). Shared by positional substring dedup and
+    benchmark decontamination; the DuckDB twins reproduce the folds
+    bit-for-bit (_duck_tok_fold/_duck_win_fold)."""
     tokenized = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
@@ -852,13 +829,46 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
         _window_grams("h1", HASH_BASE_3).alias("g1s"),
         _window_grams("h2", HASH_BASE_4).alias("g2s"),
     )
-    from pyspark.sql import Window
-
-    pos_grams = gram_arrays.select(
+    return gram_arrays.select(
         "doc_id", F.posexplode(F.arrays_zip("g1s", "g2s")).alias("pos", "g")
     ).select(
         "doc_id", "pos", F.col("g.g1s").alias("g1"), F.col("g.g2s").alias("g2")
     )
+
+
+def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """Positional EXACT-SUBSTRING dedup (the Lee et al. 2022
+    "Deduplicating Training Data" shape): find every n-token window
+    whose exact text occurs in >= 2 DISTINCT documents, then merge each
+    document's overlapping/adjacent duplicate windows into maximal
+    spans — the per-document regions a training pipeline would mask or
+    drop. Output: (doc_id, span_start, span_end_excl, n_windows) in
+    token positions.
+
+    Unlike the pairwise Jaccard family this never joins documents
+    against each other: one shuffle counts per-gram document frequency,
+    one joins the duplicated grams back to their positions, and a
+    lag+cumsum gaps-and-islands window merges windows per document —
+    every stage linear in total token count, no quadratic pair blowup
+    even for grams shared by millions of docs (the join-back emits one
+    row per OCCURRENCE, not per pair). Windows repeated only WITHIN a
+    single document are excluded by the distinct-doc frequency test
+    (within-doc repetition is repetition_signals' job).
+
+    Gram keys are pure-INTEGER double polynomial hashes (the SimHash
+    fold machinery): each token folds once to two 31-bit hashes
+    (bases 131/137 over char codes), then each window folds its n
+    token-hash longs with bases 139/149 — no per-window string
+    re-concatenation and no md5 (each token's characters are touched
+    exactly once, vs ~n times under the former md5(concat_ws(slice))
+    shape — measured ~4x on this stage at sf0.1). The (g1, g2) pair
+    gives 62 bits: cross-engine-exact (DuckDB reproduces the folds
+    bit-for-bit) and collision-safe far past 10^9 windows (birthday
+    bound ~1e-9 per 1e5-window corpus; at 10^12+ windows widen to a
+    third base the same way SimHash-124 extends SimHash-62)."""
+    from pyspark.sql import Window
+
+    pos_grams = _pos_grams(docs, n)
     shared = (
         pos_grams.groupBy("g1", "g2")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -884,18 +894,29 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     ).select("doc_id", "span_start", "span_end_excl", "n_windows")
 
 
-def duckdb_duplicate_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
-    tok_fold = (
+def _duck_tok_fold(base: int) -> str:
+    """Per-token 31-bit polynomial char fold over a `toks` array —
+    DuckDB twin of _poly_hash over the char-code arrays."""
+    return (
         "list_transform(toks, t -> list_reduce(list_prepend(0::BIGINT, "
         "list_transform(range(1, length(t)+1), "
         "i -> ascii(substring(t, CAST(i AS INT), 1))::BIGINT)), "
-        "(acc, c) -> (acc * {base} + c) % " + str(HASH_MOD) + "))"
+        f"(acc, c) -> (acc * {base} + c) % {HASH_MOD}))"
     )
-    win_fold = (
+
+
+def _duck_win_fold(hs: str, base: int, n: int) -> str:
+    """n-token window fold over a token-hash array, at offset `i`."""
+    return (
         "list_reduce(list_prepend(0::BIGINT, "
-        "{hs}[CAST(i+1 AS INT):CAST(i+" + str(n) + " AS INT)]), "
-        "(acc, h) -> (acc * {base} + h) % " + str(HASH_MOD) + ")"
+        f"{hs}[CAST(i+1 AS INT):CAST(i+{n} AS INT)]), "
+        f"(acc, h) -> (acc * {base} + h) % {HASH_MOD})"
     )
+
+
+def duckdb_duplicate_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
+    tok_fold = lambda base: _duck_tok_fold(base)  # noqa: E731
+    win_fold = lambda hs, base: _duck_win_fold(hs, base, n)  # noqa: E731
     return f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
@@ -903,14 +924,14 @@ def duckdb_duplicate_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
     ),
     hs AS (
       SELECT doc_id,
-             {tok_fold.format(base=HASH_BASE_1)} AS h1,
-             {tok_fold.format(base=HASH_BASE_2)} AS h2
+             {tok_fold(HASH_BASE_1)} AS h1,
+             {tok_fold(HASH_BASE_2)} AS h2
       FROM toks
     ),
     grams AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             {win_fold.format(hs='h1', base=HASH_BASE_3)} AS g1,
-             {win_fold.format(hs='h2', base=HASH_BASE_4)} AS g2
+             {win_fold('h1', HASH_BASE_3)} AS g1,
+             {win_fold('h2', HASH_BASE_4)} AS g2
       FROM hs, UNNEST(range(0, greatest(len(h1) - {n} + 1, 0))) AS t(i)
     ),
     shared AS (
@@ -935,6 +956,107 @@ def duckdb_duplicate_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
     SELECT doc_id, min(pos) AS span_start, max(pos) + {n} AS span_end_excl,
            count(*) AS n_windows
     FROM isl GROUP BY doc_id, island
+    """
+
+
+# --------------------------------------------- benchmark decontamination
+EVAL_MOD = 100  # deterministic eval-set rule: doc_id % EVAL_MOD == EVAL_RES
+EVAL_RES = 7
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = SUBSTR_N,
+    eval_mod: int = EVAL_MOD,
+    eval_res: int = EVAL_RES,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3/Llama training-data recipe):
+    for every TRAINING document, count how many of its distinct n-token
+    grams also appear anywhere in the held-out EVAL set — documents
+    with hits leak benchmark content and get filtered or masked before
+    training. The eval set here is the deterministic rule
+    ``doc_id % eval_mod == eval_res`` (in production: the benchmark
+    suite's text); output is (doc_id, n_grams, n_contaminated) for
+    every training doc with at least one gram, zero-hit docs included
+    so the contamination rate is computable downstream.
+
+    Plan: ONE gram materialization (the shared _pos_grams integer
+    double-poly keys) deduplicated to (doc, gram) and persisted (owned
+    cache, released after the result materializes); the eval gram set
+    and the train grams both derive from it; contamination is a
+    left-semi equi-join on the 62-bit key — no pair join, linear in
+    total gram count, AQE free to broadcast the eval side when the
+    benchmark is small (the common case: benchmarks are MBs, corpora
+    are TBs)."""
+    from pyspark import StorageLevel
+
+    grams = (
+        _pos_grams(docs, n)
+        .select("doc_id", "g1", "g2")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    is_eval = (F.col("doc_id") % eval_mod) == eval_res
+    ev = grams.filter(is_eval).select("g1", "g2").distinct()
+    train = grams.filter(~is_eval)
+    hits = (
+        train.join(ev, ["g1", "g2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    out = (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    grams.unpersist()
+    return out
+
+
+def duckdb_decontaminate_sql(
+    table_sql: str,
+    n: int = SUBSTR_N,
+    eval_mod: int = EVAL_MOD,
+    eval_res: int = EVAL_RES,
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ),
+    hs AS (
+      SELECT doc_id,
+             {_duck_tok_fold(HASH_BASE_1)} AS h1,
+             {_duck_tok_fold(HASH_BASE_2)} AS h2
+      FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             {_duck_win_fold('h1', HASH_BASE_3, n)} AS g1,
+             {_duck_win_fold('h2', HASH_BASE_4, n)} AS g2
+      FROM hs, UNNEST(range(0, greatest(len(h1) - {n} + 1, 0))) AS t(i)
+    ),
+    ev AS (
+      SELECT DISTINCT g1, g2 FROM grams WHERE doc_id % {eval_mod} = {eval_res}
+    ),
+    train AS (SELECT * FROM grams WHERE doc_id % {eval_mod} != {eval_res}),
+    hits AS (
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM train SEMI JOIN ev USING (g1, g2)
+      GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1)
+    SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
     """
 
 

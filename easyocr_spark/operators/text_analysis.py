@@ -435,6 +435,105 @@ def duckdb_fingerprint_sql(table: str = "documents") -> str:
     """
 
 
+# --------------------------------------------- training-sequence packing
+PACK_SEQ_LEN = 128  # tokens per packed training sequence
+PACK_SHARDS = 8     # deterministic shards; packing is shard-local
+
+
+def sequence_pack(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """GPT-style concat-and-chunk SEQUENCE PACKING — the step that turns
+    a filtered document corpus into fixed-length training sequences:
+    documents are concatenated in a deterministic order and chopped
+    into ``seq_len``-token windows, documents spanning a boundary are
+    split across the adjacent sequences. Output is the pack manifest:
+    one row per (sequence, document-slice) with the half-open token
+    range of the document that lands in that sequence —
+    (shard, seq_id, doc_id, doc_tok_start, doc_tok_end_excl).
+
+    Scale shape: packing is SHARD-LOCAL by construction (shard =
+    doc_id % n_shards) — a single global concatenation order would
+    funnel the whole corpus through one window partition; per-shard
+    streams give embarrassingly parallel packing whose only coordination
+    is the deterministic shard assignment (exactly how distributed
+    tokenizer pipelines shard .bin files). One shuffle (the per-shard
+    cumsum window); the boundary explode emits at most
+    n_tokens/seq_len + 1 rows per document. Tokenizer = the shared
+    whitespace contract (tokens_col)."""
+    from pyspark.sql import Window
+
+    counted = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(tokens_col(F.col("text"))).alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = counted.withColumn(
+        "off", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+    )
+    seqs = with_off.select(
+        "shard",
+        "doc_id",
+        "n_toks",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {seq_len}"),
+                F.expr(f"(off + n_toks - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    return seqs.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        F.greatest(
+            F.col("seq_id") * seq_len - F.col("off"), F.lit(0).cast("long")
+        ).cast("long").alias("doc_tok_start"),
+        F.least(
+            (F.col("seq_id") + 1) * seq_len - F.col("off"), F.col("n_toks").cast("long")
+        ).cast("long").alias("doc_tok_end_excl"),
+    )
+
+
+def duckdb_sequence_pack_sql(
+    table: str = "documents",
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_SHARDS,
+) -> str:
+    return f"""
+    WITH c AS (
+      SELECT doc_id, doc_id % {n_shards} AS shard,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+               AS n_toks
+      FROM {table}
+      WHERE len(regexp_split_to_array(lower(text), '\\s+')) > 0
+    ),
+    o AS (
+      -- CAST: DuckDB window sum() yields HUGEINT, which range() rejects
+      SELECT *, CAST(coalesce(sum(n_toks) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM c
+    ),
+    s AS (
+      SELECT shard, doc_id, n_toks, off, CAST(i AS BIGINT) AS seq_id
+      FROM o, UNNEST(range(off // {seq_len},
+                           (off + n_toks - 1) // {seq_len} + 1)) AS t(i)
+    )
+    SELECT shard, seq_id, doc_id,
+           greatest(seq_id * {seq_len} - off, 0) AS doc_tok_start,
+           least((seq_id + 1) * {seq_len} - off, n_toks) AS doc_tok_end_excl
+    FROM s
+    """
+
+
 # ------------------------------------------------ LM cross-entropy score
 def lm_cross_entropy(docs: DataFrame) -> DataFrame:
     """Corpus-fit character-bigram cross-entropy per document — the

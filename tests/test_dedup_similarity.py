@@ -379,6 +379,31 @@ def test_dedup_keeplist_decisions(spark):
     assert bool(out.loc[11, "keep"]) and out.loc[11, "component_id"] == -1
 
 
+def test_decontaminate_counts_eval_gram_hits(spark):
+    """A train doc sharing a 12-token run with an eval doc (id%100==7)
+    is flagged with exactly the 3 fully-contained 10-token windows;
+    clean train docs report zero; eval docs never appear."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    pdf = pd.DataFrame({
+        "doc_id": [7, 3, 11],
+        "text": [
+            shared + " " + " ".join(f"e{i}" for i in range(8)),   # eval
+            " ".join(f"x{i}" for i in range(5)) + " " + shared,   # leaks
+            " ".join(f"u{i}" for i in range(15)),                 # clean
+        ],
+    })
+    out = (
+        dedup.decontaminate(spark.createDataFrame(pdf), n=10)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(out.index) == {3, 11}  # eval doc 7 excluded
+    assert out.loc[3, "n_contaminated"] == 3  # windows at pos 5,6,7
+    assert out.loc[3, "n_grams"] == 8         # 17 tokens -> 8 windows
+    assert out.loc[11, "n_contaminated"] == 0
+    assert out.loc[11, "n_grams"] == 6
+
+
 def test_dedup_keeplist_shuffle_parity(spark):
     """At web scale the component table (30-50% of the corpus) is not
     broadcastable: with broadcast disabled the keeplist left join must

@@ -111,6 +111,49 @@ def test_bench_is_suspect_flags_inflated_walls():
     assert bench.is_suspect([4.4, 5.0], 2.0, 3.0) is False
 
 
+def test_sequence_pack_boundaries(spark):
+    """Concat-and-chunk invariants, hand-checked: a document crossing a
+    sequence boundary is split into adjacent slices, slices tile the
+    document exactly, and packing is shard-local (docs in different
+    shards never share offsets)."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            # one shard (doc_id % 8 == 1 for 1 and 9): 6 + 5 tokens at
+            # seq_len 8 -> doc 9 spans sequences 0 and 1
+            "doc_id": [1, 9, 2],
+            "text": [
+                " ".join(f"a{i}" for i in range(6)),
+                " ".join(f"b{i}" for i in range(5)),
+                " ".join(f"c{i}" for i in range(3)),
+            ],
+        })
+    )
+    out = (
+        ta.sequence_pack(docs, seq_len=8, n_shards=8)
+        .toPandas()
+        .sort_values(["shard", "seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    rows = set(
+        map(tuple, out[["shard", "seq_id", "doc_id",
+                        "doc_tok_start", "doc_tok_end_excl"]].itertuples(index=False))
+    )
+    assert rows == {
+        (1, 0, 1, 0, 6),   # doc 1: tokens 0..6 fill seq 0 positions 0..6
+        (1, 0, 9, 0, 2),   # doc 9: first 2 tokens finish seq 0
+        (1, 1, 9, 2, 5),   # remaining 3 tokens open seq 1
+        (2, 0, 2, 0, 3),   # different shard packs independently
+    }
+    # tiling invariant: per doc, slices cover [0, n_toks) with no gaps
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("seq_id")
+        assert grp.doc_tok_start.iloc[0] == 0
+        assert (grp.doc_tok_end_excl.iloc[:-1].values
+                == grp.doc_tok_start.iloc[1:].values).all()
+
+
 def test_repetition_signals(spark):
     rows = [
         (0, "a b a b a b"),          # bigram 'a b' dominates

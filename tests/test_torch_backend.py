@@ -359,6 +359,65 @@ def test_numpy_forward_executes_graph_definitions():
         )
 
 
+def test_synthetic_checkpoints_load_and_run(tmp_path):
+    """The load path, executed: checkpoints synthesized FROM the
+    recorded manifests (reference key names + shapes, random positive
+    values) round-trip through the real load_weights — torch.load,
+    remap_key, strict load_state_dict — and the loaded detector/
+    recognizer classes run their actual score_maps/detect/recognize
+    code. This upgrades the torch backends from 'manifest-verified,
+    never executed' to 'loaded and executed with synthetic weights'
+    (real-weight numerics remain env-blocked without torch)."""
+    from easyocr_spark.ocr.backends import manifests, np_torch, torch_resnet
+
+    rng = np.random.default_rng(11)
+
+    def fake_ckpt(manifest):
+        return {
+            k: (
+                np.zeros(shape, dtype=np.int64)
+                if k.endswith("num_batches_tracked")
+                # positive values keep BN running_var valid
+                else rng.uniform(0.01, 0.1, shape)
+            )
+            for k, shape in manifest.items()
+        }
+
+    with np_torch.installed():
+        craft_p = str(tmp_path / "craft_mlt_25k.pth")
+        np_torch.save(fake_ckpt(manifests.craft_checkpoint_manifest()), craft_p)
+        det = torch_craft.TorchCraftDetector(craft_p, canvas_size=64)
+        gray = np.full((40, 60), 255, dtype=np.uint8)
+        gray[10:20, 10:40] = 0
+        region, link, ratio = det.score_maps(gray)
+        assert region.ndim == 2 and region.shape == link.shape
+        boxes = det.detect(gray)  # real get_det_boxes + coordinate adjust
+        assert isinstance(boxes, list)
+
+        crnn_p = str(tmp_path / "english_g2.pth")
+        np_torch.save(
+            fake_ckpt(manifests.english_g2_checkpoint_manifest()), crnn_p
+        )
+        rec = torch_crnn.TorchCrnnRecognizer(crnn_p)
+        text, conf = rec.recognize(np.full((31, 80), 200, dtype=np.uint8))
+        assert isinstance(text, str) and 0.0 <= conf <= 1.0
+
+        n = len(torch_resnet.GEN1_MODELS["thai"][1]) + 1
+        g1_p = str(tmp_path / "thai.pth")
+        np_torch.save(fake_ckpt(manifests.gen1_checkpoint_manifest(n)), g1_p)
+        grec = torch_resnet.TorchGen1Recognizer("thai", g1_p)
+        text2, conf2 = grec.recognize(np.full((31, 60), 200, dtype=np.uint8))
+        assert isinstance(text2, str) and 0.0 <= conf2 <= 1.0
+
+        # a corrupted checkpoint (extra key) must fail loudly
+        bad = fake_ckpt(manifests.craft_checkpoint_manifest())
+        bad["module.rogue.weight"] = np.zeros((1,))
+        bad_p = str(tmp_path / "bad.pth")
+        np_torch.save(bad, bad_p)
+        with pytest.raises(KeyError):
+            torch_craft.load_weights(torch_craft.build_model(), bad_p)
+
+
 def test_normalize_pad_shape_and_range():
     crop = np.full((32, 100), 255, dtype=np.uint8)
     crop[10:20, 10:90] = 0
