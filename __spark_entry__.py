@@ -415,6 +415,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip: documents written to JSON-Lines by
+    Spark and read back (explicit schema, FAILFAST) must equal the
+    parquet table content exactly — the oracle reads the parquet side
+    directly and compares md5(text)."""
+    from easyocr_spark.sources import jsonl
+
+    return jsonl.jsonl_roundtrip(spark, sf_dir)
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: the pack manifest
     mapping each document's token ranges into fixed-length training
@@ -648,6 +658,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "sequence_pack": q_sequence_pack,
+        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -778,6 +789,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "sequence_pack": ta.duckdb_sequence_pack_sql(),
+        "source_jsonl_roundtrip": (
+            "SELECT doc_id, md5(text) AS text_md5, "
+            "CAST(length(text) AS INT) AS n_chars FROM documents"
+        ),
         "knn_brute": similarity.duckdb_brute_topk_sql(),
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),
         "knn_ivf": similarity.duckdb_ivf_topk_sql(),

@@ -133,6 +133,39 @@ def test_audio_features_kernel(spark):
     assert out.duration_ms == 100
 
 
+def test_jsonl_source_roundtrip_and_failfast(spark, tmp_path):
+    """JSONL sink -> source preserves content exactly (quotes,
+    backslashes, newlines-in-text, unicode, empty strings), and the
+    pinned FAILFAST mode raises on corrupt lines instead of silently
+    nulling them."""
+    import pandas as pd
+
+    from easyocr_spark.sources import jsonl
+
+    tricky = [
+        'he said "hi" \\ and left',
+        "tabs\tand\nnewlines",
+        "unicode: é中ا €",
+        "",
+        "plain",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(tricky)), "text": tricky})
+    )
+    path = str(tmp_path / "docs_jsonl")
+    jsonl.write_documents_jsonl(docs, path)
+    back = jsonl.read_documents_jsonl(spark, path).toPandas()
+    got = dict(zip(back.doc_id, back.text))
+    # exact content parity, including the empty string (verified: the
+    # sink emits "text":"" — no null coercion)
+    assert got == dict(enumerate(tricky))
+    # corrupt line -> FAILFAST raises
+    bad = tmp_path / "bad" ; bad.mkdir()
+    (bad / "part-00000.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken\n')
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        jsonl.read_documents_jsonl(spark, str(bad)).collect()
+
+
 def test_package_zip_is_importable(tmp_path):
     """The --py-files artifact must be importable via zipimport, exactly
     as spark-submit puts it on executor PYTHONPATHs."""

@@ -409,13 +409,69 @@ def test_synthetic_checkpoints_load_and_run(tmp_path):
         text2, conf2 = grec.recognize(np.full((31, 60), 200, dtype=np.uint8))
         assert isinstance(text2, str) and 0.0 <= conf2 <= 1.0
 
-        # a corrupted checkpoint (extra key) must fail loudly
-        bad = fake_ckpt(manifests.craft_checkpoint_manifest())
+        # a corrupted checkpoint (extra key) must fail loudly (CRNN —
+        # the smallest graph — keeps this case cheap)
+        bad = fake_ckpt(manifests.english_g2_checkpoint_manifest())
         bad["module.rogue.weight"] = np.zeros((1,))
         bad_p = str(tmp_path / "bad.pth")
         np_torch.save(bad, bad_p)
         with pytest.raises(KeyError):
-            torch_craft.load_weights(torch_craft.build_model(), bad_p)
+            torch_crnn.load_weights(torch_crnn.build_model(), bad_p)
+
+
+def test_torch_reader_end_to_end_under_shim(tmp_path):
+    """The full TorchReader COMPOSITION path executed with synthetic
+    weights: detect (CRAFT forward -> get_det_boxes -> group_text_box
+    -> min_size filter) -> crop -> recognize (CRNN forward -> contrast
+    retry gate -> CTC decode) -> allowlist masking -> paragraph mode —
+    plus the quantize hook (a no-op under the shim, but the
+    maybe_quantize code path runs). Random weights produce arbitrary
+    text, so the assertions are structural, not semantic."""
+    from easyocr_spark.ocr.backends import manifests, np_torch
+
+    rng = np.random.default_rng(13)
+
+    def fake_ckpt(manifest):
+        return {
+            k: (
+                np.zeros(shape, dtype=np.int64)
+                if k.endswith("num_batches_tracked")
+                else rng.uniform(0.01, 0.1, shape)
+            )
+            for k, shape in manifest.items()
+        }
+
+    with np_torch.installed():
+        craft_p = str(tmp_path / "craft_mlt_25k.pth")
+        crnn_p = str(tmp_path / "english_g2.pth")
+        np_torch.save(fake_ckpt(manifests.craft_checkpoint_manifest()), craft_p)
+        np_torch.save(
+            fake_ckpt(manifests.english_g2_checkpoint_manifest()), crnn_p
+        )
+        from easyocr_spark.ocr.backends.torch_reader import TorchReader
+
+        reader = TorchReader(
+            lang_list=["en"],
+            allowlist="ABC0123456789 ",
+            craft_weights=craft_p,
+            crnn_weights=crnn_p,
+            quantize=True,  # exercises maybe_quantize (no-op here)
+        )
+        # small low-res "page" with two dark blobs on white
+        gray = np.full((48, 96), 255, dtype=np.uint8)
+        gray[8:20, 8:40] = 0
+        gray[28:40, 50:88] = 0
+        results = reader.readtext(gray)
+        assert isinstance(results, list)
+        for box, text, conf in results:
+            assert len(box) == 4 and all(len(p) == 2 for p in box)
+            assert isinstance(text, str)
+            # allowlist masking held: only permitted chars survive
+            assert all(ch in "ABC0123456789 " for ch in text)
+            assert 0.0 <= conf <= 1.0
+        # paragraph mode + flat-text variants execute the same pipeline
+        assert isinstance(reader.readtext(gray, paragraph=True), list)
+        assert isinstance(reader.readtext_text(gray), str)
 
 
 def test_normalize_pad_shape_and_range():
