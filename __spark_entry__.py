@@ -575,6 +575,21 @@ def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: documents replayed as ascending
+    doc_id ranges across micro-batches are packed incrementally with
+    the per-shard running token offset as the ONLY state — emitted
+    manifest rows equal the batch sequence_pack exactly (packing state
+    never expires, it only advances)."""
+    import os
+
+    from easyocr_spark.streaming import stream
+
+    return stream.streaming_sequence_pack(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+
+
 def q_streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode streaming twin: watermark + append output to FILES
     (bounded state — closed windows are emitted and evicted). The final
@@ -675,6 +690,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_extract": q_streaming_extract,
         "streaming_distinct_hll": q_streaming_distinct_hll,
+        "streaming_sequence_pack": q_streaming_sequence_pack,
     }
 
 
@@ -808,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize_stateful": events.duckdb_sessionize_closed_sql(),
         "streaming_dedup_exact": "SELECT DISTINCT event_id FROM events",
         "streaming_distinct_hll": events.duckdb_streaming_hll_sql(),
+        "streaming_sequence_pack": ta.duckdb_sequence_pack_sql(),
         "streaming_extract": f"""
             SELECT doc_id, "offset", kind,
                    CASE WHEN kind = 'media' THEN {gt} ELSE text END AS text,

@@ -427,6 +427,126 @@ def streaming_dedup_exact(
     return result
 
 
+def streaming_sequence_pack(
+    spark: SparkSession,
+    docs_path: str,
+    seq_len: int = 128,
+    n_shards: int = 8,
+    n_files: int = 3,
+) -> DataFrame:
+    """STREAMING sequence packing — the stateful twin of
+    text_analysis.sequence_pack: documents arrive incrementally and are
+    packed into fixed-length training sequences ON ARRIVAL, with the
+    per-shard RUNNING TOKEN OFFSET as the only state (one long per
+    shard — the minimum information concat-and-chunk needs; this is
+    how a continuous tokenizer pipeline packs shards as crawl data
+    lands, instead of re-packing the corpus per batch).
+
+    Order contract: batch packing concatenates per shard in doc_id
+    order, so the stream must deliver each shard's documents in
+    ascending doc_id across micro-batches. The replay stages the
+    corpus as ``n_files`` ascending doc_id ranges with increasing
+    mtimes (the file source processes files in mtime order;
+    maxFilesPerTrigger=1 makes each range its own micro-batch) and the
+    operator sorts within the batch — in production the same contract
+    is a monotonically ingested ingest-order key. Contract: emitted
+    manifest rows across all micro-batches equal the batch
+    sequence_pack output exactly (same oracle — full equality, no
+    closed-window subsetting: packing state never expires, it only
+    advances)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # stage the corpus as ascending doc_id ranges, one file per range
+    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+    d = tempfile.mkdtemp(prefix="stream_pack_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    now = 1_700_000_000
+    n = len(tbl)
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = tbl.slice(i * step, step)
+        if not len(chunk):
+            continue
+        dst = os.path.join(src, f"range{i}.parquet")
+        pq.write_table(chunk, dst)
+        now += 10
+        os.utime(dst, (now, now))
+
+    out_schema = (
+        "shard long, seq_id long, doc_id long, doc_tok_start long, "
+        "doc_tok_end_excl long"
+    )
+
+    def pack_fn(key, pdfs, state):
+        (shard,) = key
+        off = state.get[0] if state.exists else 0
+        frames = [f for f in pdfs]
+        rows = pd.concat(frames, ignore_index=True) if frames else None
+        out = []
+        if rows is not None and len(rows):
+            # within-batch order: ascending doc_id (the shard's stream
+            # order across batches is the staging contract above)
+            rows = rows.sort_values("doc_id")
+            for doc_id, n_toks in zip(
+                rows["doc_id"].tolist(), rows["n_toks"].tolist()
+            ):
+                for seq_id in range(off // seq_len, (off + n_toks - 1) // seq_len + 1):
+                    out.append(
+                        (
+                            shard,
+                            seq_id,
+                            doc_id,
+                            max(seq_id * seq_len - off, 0),
+                            min((seq_id + 1) * seq_len - off, n_toks),
+                        )
+                    )
+                off += n_toks
+        state.update((off,))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["shard", "seq_id", "doc_id", "doc_tok_start",
+                         "doc_tok_end_excl"],
+            )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % n_shards).alias("shard"),
+            F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_toks"),
+        )
+        .filter(F.col("n_toks") > 0)
+    )
+    packed = stream.groupBy("shard").applyInPandasWithState(
+        pack_fn,
+        out_schema,
+        "next_off long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_pack_{uuid.uuid4().hex[:8]}"
+    with _clamped_shuffle(spark):
+        q = (
+            packed.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    result = spark.table(name).cache()
+    result.count()
+    return result
+
+
 def stream_extract_foreachbatch(
     spark: SparkSession,
     docs_path: str,

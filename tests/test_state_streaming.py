@@ -313,3 +313,40 @@ def test_streaming_hll_registers_match_batch_closed_windows(spark):
     casts = {"window_start_s": "int64", "est_distinct": "int64"}
     assert pdf[cols].astype(casts).equals(want[cols].astype(casts))
     got.unpersist()
+
+
+def test_streaming_sequence_pack_offsets_cross_batches(spark, tmp_path):
+    """The packing state (per-shard running token offset) must carry
+    ACROSS micro-batches: a document arriving in a later file continues
+    the sequence its shard-mates opened earlier — equal to the batch
+    concat-and-chunk, not a per-batch restart."""
+    import pandas as pd
+
+    from easyocr_spark.operators import text_analysis as ta
+
+    # one shard (all doc_id % 8 == 1): 6 + 5 + 9 tokens, seq_len 8.
+    # doc 9 straddles seq 0/1 across the FIRST file boundary; doc 17
+    # (second file) must continue at offset 11 -> seqs 1 and 2.
+    pdf = pd.DataFrame({
+        "doc_id": [1, 9, 17],
+        "text": [
+            " ".join(f"a{i}" for i in range(6)),
+            " ".join(f"b{i}" for i in range(5)),
+            " ".join(f"c{i}" for i in range(9)),
+        ],
+    })
+    docs_path = str(tmp_path / "docs.parquet")
+    pdf.to_parquet(docs_path)
+    got = stream.streaming_sequence_pack(
+        spark, docs_path, seq_len=8, n_shards=8, n_files=2
+    )
+    got_rows = set(map(tuple, got.toPandas().itertuples(index=False)))
+    batch = ta.sequence_pack(
+        spark.createDataFrame(pdf), seq_len=8, n_shards=8
+    )
+    batch_rows = set(map(tuple, batch.toPandas().itertuples(index=False)))
+    assert got_rows == batch_rows
+    # the cross-batch continuation specifically: doc 17 starts at
+    # offset 11 (6+5), inside seq 1, and spills into seq 2
+    assert (1, 1, 17, 0, 5) in got_rows and (1, 2, 17, 5, 9) in got_rows
+    got.unpersist()
