@@ -415,6 +415,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline END PRODUCT: one keep/drop decision per document
+    with an auditable first-match reason (eval_holdout > duplicate >
+    contaminated > quality bucket > repetitive > ok) — near-dup
+    keep-list, decontamination, quality, and repetition composed over
+    the mutant-augmented corpus; the oracle composes the SAME
+    per-operator oracle SQL."""
+    from easyocr_spark.operators import curation
+
+    return curation.curation_manifest(_mutated(spark, sf_dir))
+
+
 def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink round-trip: documents written to JSON-Lines by
     Spark and read back (explicit schema, FAILFAST) must equal the
@@ -663,6 +675,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_keeplist": q_dedup_keeplist,
         "decontaminate": q_decontaminate,
+        "curation_manifest": q_curation_manifest,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "lm_cross_entropy": q_lm_cross_entropy,
@@ -692,6 +705,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_distinct_hll": q_streaming_distinct_hll,
         "streaming_sequence_pack": q_streaming_sequence_pack,
     }
+
+
+def _curation_oracle_sql(mutants: str) -> str:
+    from easyocr_spark.operators import curation
+
+    return curation.duckdb_curation_sql(mutants)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -795,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": dedup.duckdb_decontaminate_sql(
             "SELECT * FROM documents"
         ),
+        "curation_manifest": _curation_oracle_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),

@@ -1,0 +1,108 @@
+"""Corpus curation manifest — the training-data pipeline's END PRODUCT.
+
+Every upstream signal this engine computes individually (near-dup
+keep-list, benchmark contamination, heuristic quality, repetition)
+feeds ONE per-document keep/drop decision with an auditable reason —
+the table a data curator actually materializes before tokenization
+(the Dolma/RefinedWeb "mixer" shape: filters as composable rules over
+precomputed attributes).
+
+Rule order is fixed and first-match-wins, so every drop is explained
+by exactly one reason:
+
+1. ``eval_holdout``  — the deterministic eval split
+   (doc_id % EVAL_MOD == EVAL_RES) never enters training data.
+2. ``duplicate``     — not the canonical member of its near-dup
+   component (dedup.dedup_keeplist).
+3. ``contaminated``  — shares >= 1 n-gram with the eval split
+   (dedup.decontaminate).
+4. ``too_short`` / ``boilerplate`` — the heuristic quality bucket
+   (text_analysis.quality_score).
+5. ``repetitive``    — duplicate-token mass above REP_MAX_MILLI
+   (text_analysis.repetition_signals).
+6. ``ok``            — keep.
+
+Scale shape: four equi-joins on unique doc_id over the outputs of
+operators that are each individually linear — no new shuffle pattern
+beyond theirs; AQE sizes every join (all sides are one row per doc or
+smaller). The DuckDB oracle composes the SAME per-operator oracle SQL
+generators, so the manifest is verified end-to-end, not re-derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup
+from . import text_analysis as ta
+
+REP_MAX_MILLI = 600  # duplicate-token mass (milli) above which a doc drops
+
+
+def curation_manifest(docs: DataFrame, rep_max_milli: int = REP_MAX_MILLI) -> DataFrame:
+    """(doc_id, keep, reason) over the given documents table — see the
+    module docstring for the rule ladder."""
+    keepl = dedup.dedup_keeplist(docs).select("doc_id", F.col("keep").alias("dd_keep"))
+    qual = ta.quality_score(docs).select("doc_id", "quality_bucket")
+    rep = ta.repetition_signals(docs).select("doc_id", "dup_token_milli")
+    dec = dedup.decontaminate(docs).select("doc_id", "n_contaminated")
+    is_eval = (F.col("doc_id") % dedup.EVAL_MOD) == dedup.EVAL_RES
+    reason = (
+        F.when(is_eval, F.lit("eval_holdout"))
+        .when(~F.col("dd_keep"), F.lit("duplicate"))
+        .when(F.coalesce("n_contaminated", F.lit(0)) > 0, F.lit("contaminated"))
+        .when(F.col("quality_bucket") != "ok", F.col("quality_bucket"))
+        .when(F.col("dup_token_milli") > rep_max_milli, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(keepl, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            (reason == "ok").alias("keep"),
+            reason.alias("reason"),
+        )
+    )
+
+
+def duckdb_curation_sql(
+    table_sql: str, rep_max_milli: int = REP_MAX_MILLI
+) -> str:
+    """Composes the per-operator oracle generators — the manifest's
+    oracle IS the composition of the already-verified oracles."""
+    return f"""
+    WITH base AS ({table_sql}),
+    keepl AS (SELECT * FROM ({dedup.duckdb_keeplist_sql(table_sql)})),
+    qual AS (
+      SELECT doc_id, quality_bucket
+      FROM ({ta.duckdb_quality_sql(f"({table_sql})")})
+    ),
+    rep AS (
+      SELECT doc_id, dup_token_milli
+      FROM ({ta.duckdb_repetition_sql(f"({table_sql})")})
+    ),
+    dec AS (SELECT * FROM ({dedup.duckdb_decontaminate_sql(table_sql)})),
+    reasons AS (
+      SELECT b.doc_id,
+             CASE
+               WHEN b.doc_id % {dedup.EVAL_MOD} = {dedup.EVAL_RES}
+                 THEN 'eval_holdout'
+               WHEN NOT k.keep THEN 'duplicate'
+               WHEN coalesce(d.n_contaminated, 0) > 0 THEN 'contaminated'
+               WHEN q.quality_bucket != 'ok' THEN q.quality_bucket
+               WHEN r.dup_token_milli > {rep_max_milli} THEN 'repetitive'
+               ELSE 'ok'
+             END AS reason
+      FROM base b
+      LEFT JOIN keepl k USING (doc_id)
+      LEFT JOIN qual q USING (doc_id)
+      LEFT JOIN rep r USING (doc_id)
+      LEFT JOIN dec d USING (doc_id)
+    )
+    SELECT doc_id, (reason = 'ok') AS keep, reason FROM reasons
+    """

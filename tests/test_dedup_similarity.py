@@ -428,3 +428,40 @@ def test_dedup_keeplist_shuffle_parity(spark):
     finally:
         docs.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert forced == base
+
+
+def test_curation_manifest_reason_ladder(spark):
+    """Every rule of the end-product keep/drop ladder fires on a
+    crafted corpus, in first-match order: eval_holdout > duplicate >
+    contaminated > quality bucket > repetitive > ok."""
+    from easyocr_spark.operators import curation
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    dup_text = " ".join(f"d{i}" for i in range(30))
+    pdf = pd.DataFrame({
+        "doc_id": [7, 20, 21, 3, 5, 9, 11, 13],
+        "text": [
+            shared + " " + " ".join(f"e{i}" for i in range(8)),  # eval
+            dup_text,                                            # canonical
+            dup_text,                                            # duplicate
+            " ".join(f"x{i}" for i in range(5)) + " " + shared,  # contaminated
+            "just three tokens",                                 # too_short
+            "the a an of to in is and or for the a",             # boilerplate
+            " ".join(["rep"] * 25 + [f"y{i}" for i in range(5)]),  # repetitive
+            " ".join(f"ok{i}" for i in range(30)),               # ok
+        ],
+    })
+    out = (
+        curation.curation_manifest(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[7, "reason"] == "eval_holdout"
+    assert out.loc[20, "reason"] == "ok" and bool(out.loc[20, "keep"])
+    assert out.loc[21, "reason"] == "duplicate"
+    assert out.loc[3, "reason"] == "contaminated"
+    assert out.loc[5, "reason"] == "too_short"
+    assert out.loc[9, "reason"] == "boilerplate"
+    assert out.loc[11, "reason"] == "repetitive"
+    assert out.loc[13, "reason"] == "ok" and bool(out.loc[13, "keep"])
+    assert not out.drop([20, 13]).keep.any()
