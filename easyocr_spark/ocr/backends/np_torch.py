@@ -419,13 +419,18 @@ def installed():
     ``torch.nn.functional``) in sys.modules so the deferred imports in
     the backend builders resolve. No-op pass-through when real torch is
     importable; always restores sys.modules."""
+    # probe OUTSIDE the yield: a bare try around `yield` would swallow
+    # ImportErrors raised by the caller's body and re-enter the shim
+    # path (double-yield)
     try:
         import torch  # noqa: F401
 
+        have_torch = True
+    except ImportError:
+        have_torch = False
+    if have_torch:
         yield
         return
-    except ImportError:
-        pass
     me = sys.modules[__name__]
     nn_mod = types.ModuleType("torch.nn")
     for name in (
