@@ -42,11 +42,20 @@ REP_MAX_MILLI = 600  # duplicate-token mass (milli) above which a doc drops
 
 def curation_manifest(docs: DataFrame, rep_max_milli: int = REP_MAX_MILLI) -> DataFrame:
     """(doc_id, keep, reason) over the given documents table — see the
-    module docstring for the rule ladder."""
+    module docstring for the rule ladder.
+
+    Owned-cache chain: decontaminate() returns an eagerly persisted
+    dependency; the manifest materializes its own (persisted) result,
+    then RELEASES that dependency — so composing the end product does
+    not leak the intermediate cache. The returned manifest itself is
+    persisted (it is the end product — callers write it out or join
+    against it repeatedly) and is the caller's to unpersist."""
+    from pyspark import StorageLevel
+
     keepl = dedup.dedup_keeplist(docs).select("doc_id", F.col("keep").alias("dd_keep"))
     qual = ta.quality_score(docs).select("doc_id", "quality_bucket")
     rep = ta.repetition_signals(docs).select("doc_id", "dup_token_milli")
-    dec = dedup.decontaminate(docs).select("doc_id", "n_contaminated")
+    dec = dedup.decontaminate(docs)
     is_eval = (F.col("doc_id") % dedup.EVAL_MOD) == dedup.EVAL_RES
     reason = (
         F.when(is_eval, F.lit("eval_holdout"))
@@ -56,18 +65,22 @@ def curation_manifest(docs: DataFrame, rep_max_milli: int = REP_MAX_MILLI) -> Da
         .when(F.col("dup_token_milli") > rep_max_milli, F.lit("repetitive"))
         .otherwise(F.lit("ok"))
     )
-    return (
+    out = (
         docs.select("doc_id")
         .join(keepl, "doc_id", "left")
         .join(qual, "doc_id", "left")
         .join(rep, "doc_id", "left")
-        .join(dec, "doc_id", "left")
+        .join(dec.select("doc_id", "n_contaminated"), "doc_id", "left")
         .select(
             "doc_id",
             (reason == "ok").alias("keep"),
             reason.alias("reason"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    dec.unpersist()
+    return out
 
 
 def duckdb_curation_sql(

@@ -987,7 +987,14 @@ def decontaminate(
     left-semi equi-join on the 62-bit key — no pair join, linear in
     total gram count, AQE free to broadcast the eval side when the
     benchmark is small (the common case: benchmarks are MBs, corpora
-    are TBs)."""
+    are TBs).
+
+    Returns an EAGERLY PERSISTED DataFrame (the internal grams cache is
+    released before return; the result must be pinned so unpersisting
+    grams cannot trigger a full gram-scan recompute). The CALLER owns
+    unpersisting the result when done — the lm_cross_entropy
+    owned-cache contract; curation_manifest releases it after
+    materializing the composed manifest."""
     from pyspark import StorageLevel
 
     grams = (

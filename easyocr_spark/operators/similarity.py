@@ -846,10 +846,14 @@ def duckdb_pq_topk_sql(k: int = K, n_candidates: int = PQ_CANDIDATES) -> str:
     WITH nemb AS (
       -- unit-normalize: PQ quantizes the unit sphere (ADC L2 ranking
       -- == cosine ranking for unit vectors); same fold-order norm +
-      -- per-element division as the Spark kernel
+      -- per-element division as the Spark kernel, including its
+      -- zero-norm pin (a zero vector stays zero instead of NaN)
       SELECT vec_id,
-             list_transform(embedding, xx -> xx::DOUBLE / sqrt({norm2}))
-               AS embedding
+             CASE WHEN ({norm2}) > 0
+                  THEN list_transform(embedding,
+                                      xx -> xx::DOUBLE / sqrt({norm2}))
+                  ELSE list_transform(embedding, xx -> 0.0::DOUBLE)
+             END AS embedding
       FROM embeddings
     ),
     cents AS (
@@ -899,8 +903,14 @@ def duckdb_pq_topk_sql(k: int = K, n_candidates: int = PQ_CANDIDATES) -> str:
         FROM scored) WHERE crank <= {n_candidates}
     ),
     rer AS (
+      -- exact re-rank with the Spark side's ranks-last sentinel for
+      -- zero-norm rows (never divide by a zero norm)
       SELECT s.query_id, s.neighbor_id, s.adc_micro,
-             {duck_cos_micro('qe.embedding', 'ne.embedding')} AS cos_micro
+             CASE WHEN ({_DUCK_DOT.format(a='qe.embedding', b='qe.embedding', dim=DIM)}) > 0
+                   AND ({_DUCK_DOT.format(a='ne.embedding', b='ne.embedding', dim=DIM)}) > 0
+                  THEN {duck_cos_micro('qe.embedding', 'ne.embedding')}
+                  ELSE -9223372036854775808
+             END AS cos_micro
       FROM shortlist s
       JOIN embeddings qe ON qe.vec_id = s.query_id
       JOIN embeddings ne ON ne.vec_id = s.neighbor_id

@@ -50,11 +50,11 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the PARQUET table directly, so any content drift introduced
     by the JSON encode/decode (escaping, unicode, nulls) breaks the
     hash match."""
-    from .tables import read_table
+    from .tables import CACHE_ROOT, read_table
 
     docs = read_table(spark, sf_dir, "documents")
     path = os.path.join(
-        "/tmp/easyocr_spark_cache",
+        CACHE_ROOT,
         "jsonl_roundtrip_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     write_documents_jsonl(docs, path)

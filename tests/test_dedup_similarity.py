@@ -179,6 +179,31 @@ def test_pq_topk_zero_norm_and_empty_codebook(spark, emb):
     )
     out = similarity.pq_topk(with_zero, k=3).toPandas()
     assert len(out) > 0  # runs clean end-to-end
+    # the ORACLE mirrors the zero-norm discipline (zero pin in nemb,
+    # ranks-last sentinel in the re-rank): full engine parity on a
+    # corpus containing a zero vector, not just "doesn't crash". The
+    # registered oracle is pinned to the driver table's 64-dim schema,
+    # so the parity corpus is 64-dim (zero vector at id 43 -> IN the
+    # training subset).
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(44, 64))
+    vecs[43] = 0.0
+    pdf64 = pd.DataFrame(
+        {"vec_id": range(44), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb64 = spark.createDataFrame(pdf64).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out64 = similarity.pq_topk(emb64, k=3).toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", emb64.toPandas())
+    oracle = con.sql(similarity.duckdb_pq_topk_sql(k=3)).df()
+    key = ["query_id", "neighbor_id", "rank", "cos_micro", "adc_micro"]
+    assert sorted(map(tuple, out64[key].astype("int64").values.tolist())) == sorted(
+        map(tuple, oracle[key].astype("int64").values.tolist())
+    )
     # the pure-python normalize guard directly
     assert similarity._py_normalize([0.0, 0.0]) == [0.0, 0.0]
     no_train = emb.filter(F.col("vec_id") % similarity.CENTROID_MOD != 3)
