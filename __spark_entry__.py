@@ -437,6 +437,13 @@ def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonl.jsonl_roundtrip(spark, sf_dir)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 salient terms by integer tf/df relevance (the
+    reciprocal-idf member of the tf-idf family — pure int64 so both
+    engines agree exactly); ties break on term."""
+    return ta.tfidf_top_terms(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: the pack manifest
     mapping each document's token ranges into fixed-length training
@@ -682,6 +689,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_stats": q_token_stats,
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
@@ -821,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": ta.duckdb_token_stats_sql(),
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),
+        "tfidf_top_terms": ta.duckdb_tfidf_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),

@@ -435,6 +435,76 @@ def duckdb_fingerprint_sql(table: str = "documents") -> str:
     """
 
 
+# ----------------------------------------------------- TF-IDF top terms
+TFIDF_K = 3  # top terms kept per document
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Per-document top-k salient terms by tf×idf-family relevance —
+    the keyword-extraction signal next to doc_frequency (its corpus
+    half) and top_ngrams (its corpus-wide twin).
+
+    Scoring is the RECIPROCAL-idf member of the tf-idf family:
+    score_micro = floor(tf * 1e6 / df) — monotone in tf and in 1/df
+    like ln(N/df) weighting, but pure int64 arithmetic, so Spark and
+    DuckDB agree bit-for-bit (a float ln() differs by ulps between
+    JVM Math.log and C libm, and floor() on a log boundary would flip
+    — the same reason the LM score freezes integer milli-bits).
+
+    Plan: one map-side-combining shuffle for (doc, term) tf, one for
+    term df, a term-keyed join (AQE broadcasts the vocabulary when
+    small — Zipf makes it tiny relative to the token stream), and a
+    per-doc top-k window. Ties break on term asc. Output:
+    (doc_id, term, tf, df, score_micro, rank)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr("(tf * 1000000) div df").cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )
+
+
+def duckdb_tfidf_sql(table: str = "documents", k: int = TFIDF_K) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM {table}
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST((tf * 1000000) // df AS BIGINT) AS score_micro
+      FROM tf JOIN dft USING (term)
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_micro DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_micro, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= {k}
+    """
+
+
 # --------------------------------------------- training-sequence packing
 PACK_SEQ_LEN = 128  # tokens per packed training sequence
 PACK_SHARDS = 8     # deterministic shards; packing is shard-local

@@ -190,3 +190,30 @@ def test_lm_cross_entropy_flags_outliers(spark):
     assert out.loc[100, "avg_milli_bits"] > common_avg
     again = ta.lm_cross_entropy(docs).toPandas().set_index("doc_id")
     assert out.sort_index().equals(again.sort_index())
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """Rare terms outrank common ones at equal tf; higher tf wins at
+    equal df; ties break on term; k bounds per-doc output."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                "apple apple zebra common common common",
+                "common banana",
+                "common common",
+            ],
+        })
+    )
+    out = ta.tfidf_top_terms(docs, k=2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # apple: tf=2, df=1 -> 2e6; zebra: tf=1, df=1 -> 1e6;
+    # common: tf=3, df=3 -> 1e6 — tied with zebra, 'common' wins the
+    # term-ascending tiebreak
+    assert d0.term.tolist() == ["apple", "common"]
+    assert d0.score_micro.tolist() == [2_000_000, 1_000_000]
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    assert d1.term.tolist()[0] == "banana"  # df=1 beats common's df=3
+    assert (out.groupby("doc_id").size() <= 2).all()
