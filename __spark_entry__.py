@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from easyocr_spark.fixtures import corpus
 from easyocr_spark.ocr import udfs
-from easyocr_spark.operators import dedup, events, pipeline, similarity
+from easyocr_spark.operators import dedup, events, pipeline, similarity, sketches
 from easyocr_spark.operators import text_analysis as ta
 from easyocr_spark.sources import tables
 
@@ -444,6 +444,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.tfidf_top_terms(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch with heavy-hitter readout: top-15
+    corpus terms with exact count, sketch estimate (min over d=3 rows
+    of a 3x16 integer sketch) and the overcount audit column — the
+    width is deliberately below the vocabulary size so collisions occur
+    and the one-sided error is visible in the oracle diff."""
+    return sketches.countmin_heavy_hitters(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe of every doc's text against the
+    deterministic reference subset (doc_id % 10 < 3): zero-shuffle
+    probe against the collected <= m-bit filter, with the exact md5
+    semi-join kept as the audit column (false positives allowed, false
+    negatives structurally impossible)."""
+    return sketches.bloom_membership(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: the pack manifest
     mapping each document's token ranges into fixed-length training
@@ -690,6 +712,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "countmin_heavy_hitters": q_countmin_heavy_hitters,
+        "bloom_membership": q_bloom_membership,
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
@@ -830,6 +854,8 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),
         "tfidf_top_terms": ta.duckdb_tfidf_sql(),
+        "countmin_heavy_hitters": sketches.duckdb_countmin_sql(),
+        "bloom_membership": sketches.duckdb_bloom_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
