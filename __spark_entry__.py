@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from easyocr_spark.fixtures import corpus
 from easyocr_spark.ocr import udfs
-from easyocr_spark.operators import dedup, events, pipeline, similarity, sketches
+from easyocr_spark.operators import dedup, events, pii, pipeline, similarity, sketches
 from easyocr_spark.operators import text_analysis as ta
 from easyocr_spark.sources import tables
 
@@ -466,6 +466,15 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over deterministically augmented documents
+    (doc_id % 4 picks email/phone/ipv4 injection; 1/4 stay clean as
+    negative controls): per-doc pattern counts plus the md5 of the
+    fully redacted text, all JVM-side regex codegen — one narrow
+    shuffle-free projection."""
+    return pii.pii_scan(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: the pack manifest
     mapping each document's token ranges into fixed-length training
@@ -714,6 +723,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tfidf_top_terms": q_tfidf_top_terms,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "bloom_membership": q_bloom_membership,
+        "pii_scan": q_pii_scan,
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
@@ -856,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": ta.duckdb_tfidf_sql(),
         "countmin_heavy_hitters": sketches.duckdb_countmin_sql(),
         "bloom_membership": sketches.duckdb_bloom_sql(),
+        "pii_scan": pii.duckdb_pii_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
