@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 
 from easyocr_spark.fixtures import corpus
 from easyocr_spark.ocr import udfs
-from easyocr_spark.operators import dedup, events, pii, pipeline, similarity, sketches
+from easyocr_spark.operators import (
+    clustering,
+    dedup,
+    events,
+    pii,
+    pipeline,
+    similarity,
+    sketches,
+)
 from easyocr_spark.operators import text_analysis as ta
 from easyocr_spark.sources import tables
 
@@ -508,6 +516,17 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(tables.read_table(spark, sf_dir, "embeddings"))
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (the IVF codebook
+    trainer): broadcast-literal centroids make assignment a zero-shuffle
+    map-side projection; the only shuffle per iteration is the k x DIM
+    map-side-combining centroid update. Integer-micro L2 keeps every
+    assignment and centroid bit-identical to the DuckDB CTE-chain twin."""
+    return clustering.kmeans_clusters(
+        tables.read_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(
         similarity.with_planted_dups(tables.read_table(spark, sf_dir, "embeddings"))
@@ -733,6 +752,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "kmeans_clusters": q_kmeans_clusters,
         "embedding_neardup": q_embedding_neardup,
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
@@ -879,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),
         "knn_ivf": similarity.duckdb_ivf_topk_sql(),
         "knn_pq": similarity.duckdb_pq_topk_sql(),
+        "kmeans_clusters": clustering.duckdb_kmeans_sql(),
         "embedding_neardup": similarity.duckdb_neardup_sql(),
         "events_sessionize": events.duckdb_sessionize_sql(),
         "events_windowed": events.duckdb_windowed_sql(),

@@ -1,0 +1,190 @@
+"""K-means corpus clustering over the embedding table (Lloyd's).
+
+A training-data pipeline clusters its corpus embeddings for mixing
+decisions, semantic dedup buckets, and IVF codebook training — the
+`similarity.ivf_topk` docstring explicitly stands in for "a
+k-means-trained codebook"; this operator is that trainer, re-expressed
+Spark-first:
+
+- **Broadcast centroids, shuffle only the update.** Each iteration
+  collects the k x DIM centroid table to the driver (bounded: k*DIM
+  int64s, the textbook MLlib shape) and embeds it as literal arrays in
+  the assignment expression — assignment is a narrow, map-side codegen
+  projection with ZERO shuffle. The only shuffle per iteration is the
+  centroid update: a groupBy(cluster) with k*DIM map-side-combinable
+  sum cells.
+- **Integer-micro arithmetic for engine parity.** Components are
+  floored to int64 micros once; every distance is an exact int64
+  sum((a-b)^2) (|micros| <= ~2e6, so dim*diff^2 <= ~3e14 << 2^63) —
+  no float summation-order divergence, so the DuckDB oracle reproduces
+  every assignment AND every centroid bit-for-bit. Centroid update is
+  floor(double(sum)/count) — both engines (and the driver-side Python
+  that mirrors it) do the identical IEEE-double division; exact while
+  per-cluster component sums stay under 2^53 (n_cluster ~ 9e9 docs at
+  micro scale — far beyond any real shard's cluster).
+- **Deterministic everything.** Init centroids are the first k vectors
+  matching vec_id % 25 == 3 (the IVF codebook rule) ordered by vec_id;
+  ties in assignment break to the smallest cluster id; empty clusters
+  keep their previous centroid.
+
+Like ivf_topk, BUILDING this DataFrame runs eager actions (one collect
+per iteration — Lloyd's is inherently iterative); the micro-vector
+table is persisted across those collects and released before return,
+so the returned DataFrame re-derives it in one final scan.
+
+Output: (vec_id, cluster, dist2) — final assignment plus the exact
+squared micro-distance to the winning centroid.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from easyocr_spark.operators.similarity import DIM
+
+K_CLUSTERS = 8
+ITERS = 3
+MICRO = 1_000_000
+CENT_MOD = 25  # init rule shared with similarity.ivf_topk's codebook
+CENT_RES = 3
+
+
+def _micros(emb: Column) -> Column:
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * F.lit(float(MICRO))).cast("long")
+    )
+
+
+def _dist2(m: Column, cent: list[int]) -> Column:
+    lits = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    return F.aggregate(
+        F.zip_with(m, lits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(mdf: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, m, cluster, dist2): nearest centroid by exact int64 L2,
+    ties to the smallest cluster id. Narrow projection — the centroids
+    ride along as literals, no join, no shuffle."""
+    dists = [_dist2(F.col("m"), c).alias(f"d{i}") for i, c in enumerate(cents)]
+    scored = mdf.select("vec_id", "m", *dists)
+    best = F.least(*[F.col(f"d{i}") for i in range(len(cents))])
+    cl = F.lit(len(cents) - 1)
+    for i in reversed(range(len(cents) - 1)):
+        cl = F.when(F.col(f"d{i}") == best, F.lit(i)).otherwise(cl)
+    return scored.select(
+        "vec_id",
+        "m",
+        cl.cast("long").alias("cluster"),
+        best.alias("dist2"),
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = K_CLUSTERS, iters: int = ITERS
+) -> DataFrame:
+    """Lloyd's k-means: init from the deterministic codebook rule, then
+    `iters` rounds of (map-side assign -> one-shuffle centroid update).
+    See module docstring for the scale/parity contract."""
+    mdf = embeddings.select(
+        "vec_id", _micros(F.col("embedding")).alias("m")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    init_rows = (
+        mdf.filter(F.col("vec_id") % CENT_MOD == CENT_RES)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        mdf.unpersist()
+        raise ValueError(
+            f"kmeans_clusters: init rule produced {len(init_rows)} < k={k} "
+            "centroids — need more vectors or a denser init rule"
+        )
+    cents = [list(r["m"]) for r in init_rows]
+
+    for _ in range(iters):
+        assigned = _assign(mdf, cents)
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("m")[j]).alias(f"s{j}") for j in range(DIM)],
+            )
+            .collect()
+        )
+        new = {
+            int(r["cluster"]): [
+                math.floor(float(r[f"s{j}"]) / r["n"]) for j in range(DIM)
+            ]
+            for r in sums
+        }
+        # empty clusters keep their previous centroid
+        cents = [new.get(i, cents[i]) for i in range(k)]
+
+    mdf.unpersist()
+    final = embeddings.select("vec_id", _micros(F.col("embedding")).alias("m"))
+    return _assign(final, cents).select("vec_id", "cluster", "dist2")
+
+
+def duckdb_kmeans_sql(
+    table: str = "embeddings", k: int = K_CLUSTERS, iters: int = ITERS
+) -> str:
+    """CTE-chained Lloyd's twin: same init rule, same exact int64
+    distances, same floor(double/count) update, same tie-breaks."""
+    d = (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        "j -> (x.m[j] - c.cm[j]) * (x.m[j] - c.cm[j]))) AS BIGINT)"
+    )
+    ctes = [
+        f"""micros AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * {MICRO}.0) AS BIGINT)) AS m
+          FROM {table}
+        )""",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, m AS cm
+          FROM (SELECT vec_id, m FROM micros
+                WHERE vec_id % {CENT_MOD} = {CENT_RES}
+                ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+              SELECT x.vec_id, x.m, c.cl, {d} AS d
+              FROM micros x CROSS JOIN c{i - 1} c
+              QUALIFY row_number() OVER (PARTITION BY x.vec_id
+                                         ORDER BY d, c.cl) = 1
+            )"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+              SELECT cl, j,
+                     CAST(floor(CAST(sum(m[j]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+              FROM a{i}, generate_series(1, {DIM}) AS t(j)
+              GROUP BY cl, j
+            )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+              SELECT p.cl, coalesce(n.cm, p.cm) AS cm
+              FROM c{i - 1} p
+              LEFT JOIN (SELECT cl, list(cv ORDER BY j) AS cm
+                         FROM s{i} GROUP BY cl) n USING (cl)
+            )"""
+        )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT x.vec_id, CAST(c.cl AS BIGINT) AS cluster, {d} AS dist2
+    FROM micros x CROSS JOIN c{iters} c
+    QUALIFY row_number() OVER (PARTITION BY x.vec_id ORDER BY dist2, c.cl) = 1
+    """
