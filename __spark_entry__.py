@@ -26,6 +26,7 @@ from easyocr_spark.operators import (
     clustering,
     dedup,
     events,
+    mixing,
     pii,
     pipeline,
     similarity,
@@ -474,6 +475,15 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing table per (source, lang) stratum: raw vs
+    n^0.5-temperature ppm shares plus the per-doc oversampling boost —
+    one map-side-combining shuffle, normalization on the bounded
+    stratum table (alpha fixed at 0.5: IEEE sqrt is correctly rounded,
+    so both engines agree bit-for-bit; pow would not)."""
+    return mixing.corpus_mix(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over deterministically augmented documents
     (doc_id % 4 picks email/phone/ipv4 injection; 1/4 stay clean as
@@ -743,6 +753,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "bloom_membership": q_bloom_membership,
         "pii_scan": q_pii_scan,
+        "corpus_mix": q_corpus_mix,
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
@@ -887,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_heavy_hitters": sketches.duckdb_countmin_sql(),
         "bloom_membership": sketches.duckdb_bloom_sql(),
         "pii_scan": pii.duckdb_pii_sql(),
+        "corpus_mix": mixing.duckdb_mix_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
