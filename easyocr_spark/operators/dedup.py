@@ -537,12 +537,12 @@ def _simhash_signatures_n(
     # MB); beyond that, drop the broadcast hint and this becomes a
     # shuffled equi-join on the token, still beating per-occurrence
     # hashing.
+    # split('') is one O(n) pass per token; the indexed
+    # substring-per-char extraction is O(n^2) (UTF8String.substring
+    # rescans from the start per index) — same codes, same hashes
     with_chars = tf.select("token").distinct().select(
         "token",
-        F.transform(
-            F.sequence(F.lit(1), F.length("token")),
-            lambda i: F.ascii(F.substring(F.col("token"), i, 1)),
-        ).alias("cs"),
+        F.transform(F.split("token", ""), F.ascii).alias("cs"),
     )
     tok_hashes = with_chars.select(
         "token",
@@ -803,10 +803,9 @@ def _pos_grams(docs: DataFrame, n: int) -> DataFrame:
         "doc_id",
         F.transform(
             "toks",
-            lambda t: F.transform(
-                F.sequence(F.lit(1), F.length(t)),
-                lambda i: F.ascii(F.substring(t, i, 1)),
-            ),
+            # split('') = one O(n) pass per token (vs O(n^2) indexed
+            # substring extraction); empty tokens hash to 0 either way
+            lambda t: F.transform(F.split(t, ""), F.ascii),
         ).alias("css"),
     )
     tok_hashes = with_cs.select(

@@ -124,10 +124,9 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     prefixed = docs.select(
         "doc_id", F.substring(F.lower("text"), 1, FP_PREFIX).alias("prefix")
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("prefix")),
-        lambda i: F.ascii(F.substring(F.col("prefix"), i, 1)),
-    )
+    # split('') is one O(n) pass; indexed substring extraction is
+    # O(n^2) (UTF8String.substring rescans per index) — same codes
+    chars = F.transform(F.split("prefix", ""), F.ascii)
     fp = F.aggregate(
         chars,
         F.lit(0).cast("long"),
@@ -637,12 +636,19 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
     with at least one bigram."""
     import math
 
-    low = docs.select("doc_id", F.lower("text").alias("lt"))
+    # char array staged in its own projection, bigrams by zipping the
+    # array with itself shifted one — O(n) total, where per-position
+    # lt.substr(i, 2) is O(n^2) (UTF8String rescans per index). Same
+    # code-point bigrams; <2-char docs yield the same empty array.
+    low = docs.select(
+        "doc_id", F.split(F.lower("text"), "").alias("cs")
+    )
     bigrams_arr = F.when(
-        F.length("lt") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length("lt") - 1),
-            lambda i: F.col("lt").substr(i, F.lit(2)),
+        F.size("cs") >= 2,
+        F.zip_with(
+            F.slice("cs", 1, F.size("cs") - 1),
+            F.slice("cs", 2, F.size("cs") - 1),
+            lambda a, b: F.concat(a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     from pyspark import StorageLevel
