@@ -73,7 +73,16 @@ def is_suspect(walls: list[float], record: float | None, guard: float) -> bool:
 def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
-    from easyocr_spark.operators import dedup, events, pipeline, similarity
+    from easyocr_spark.operators import (
+        clustering,
+        dedup,
+        events,
+        mixing,
+        pii,
+        pipeline,
+        similarity,
+        sketches,
+    )
     from easyocr_spark.operators import text_analysis as ta
     from easyocr_spark.session import get_spark
     from easyocr_spark.sources import tables
@@ -187,6 +196,11 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("strip_boilerplate", lambda: pipeline.strip_boilerplate(docs))
     timed("events_sessionize", lambda: events.sessionize(ev))
     timed("events_distinct_hll", lambda: events.distinct_users_hll(ev))
+    timed("pii_scan", lambda: pii.pii_scan(flat_docs))
+    timed("corpus_mix", lambda: mixing.corpus_mix(flat_docs))
+    timed("countmin", lambda: sketches.countmin_heavy_hitters(flat_docs))
+    timed("bloom", lambda: sketches.bloom_membership(flat_docs))
+    timed("kmeans", lambda: clustering.kmeans_clusters(emb))
 
     extract_sec = timings["extract"]
     result = {
