@@ -543,6 +543,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: the trained k-means clusters bucket the within-cluster
+    exact-cosine pair scan (n^2/k instead of n^2; k grows with the
+    corpus at web scale), with the centroid-proximal member kept per
+    pair — the cluster-bucketed alternative to embedding_neardup's
+    hyperplane-LSH probes, over the same planted duplicates."""
+    return clustering.semantic_dedup_pairs(
+        similarity.with_planted_dups(tables.read_table(spark, sf_dir, "embeddings"))
+    )
+
+
 # ----------------------------------------------------------------- events
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(tables.read_table(spark, sf_dir, "events"))
@@ -765,6 +776,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_pq": q_knn_pq,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
         "events_top_types": q_events_top_types,
@@ -913,6 +925,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": similarity.duckdb_pq_topk_sql(),
         "kmeans_clusters": clustering.duckdb_kmeans_sql(),
         "embedding_neardup": similarity.duckdb_neardup_sql(),
+        "semantic_dedup": clustering.duckdb_semdedup_sql(
+            table=f"({similarity.DUCK_PLANTED})"
+        ),
         "events_sessionize": events.duckdb_sessionize_sql(),
         "events_windowed": events.duckdb_windowed_sql(),
         "events_top_types": events.duckdb_top_event_types_sql(),

@@ -134,11 +134,12 @@ def kmeans_clusters(
     return _assign(final, cents).select("vec_id", "cluster", "dist2")
 
 
-def duckdb_kmeans_sql(
-    table: str = "embeddings", k: int = K_CLUSTERS, iters: int = ITERS
-) -> str:
-    """CTE-chained Lloyd's twin: same init rule, same exact int64
-    distances, same floor(double/count) update, same tie-breaks."""
+def _kmeans_ctes(
+    table: str, k: int, iters: int
+) -> tuple[list[str], str]:
+    """The CTE chain + final assignment SELECT of the Lloyd's oracle,
+    exposed separately so composing oracles (semantic dedup) can extend
+    the chain instead of nesting a full WITH query."""
     d = (
         f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
         "j -> (x.m[j] - c.cm[j]) * (x.m[j] - c.cm[j]))) AS BIGINT)"
@@ -182,9 +183,137 @@ def duckdb_kmeans_sql(
                          FROM s{i} GROUP BY cl) n USING (cl)
             )"""
         )
+    final = f"""
+      SELECT x.vec_id, CAST(c.cl AS BIGINT) AS cluster, {d} AS dist2
+      FROM micros x CROSS JOIN c{iters} c
+      QUALIFY row_number() OVER (PARTITION BY x.vec_id
+                                 ORDER BY dist2, c.cl) = 1
+    """
+    return ctes, final
+
+
+def duckdb_kmeans_sql(
+    table: str = "embeddings", k: int = K_CLUSTERS, iters: int = ITERS
+) -> str:
+    """CTE-chained Lloyd's twin: same init rule, same exact int64
+    distances, same floor(double/count) update, same tie-breaks."""
+    ctes, final = _kmeans_ctes(table, k, iters)
     return f"""
     WITH {','.join(ctes)}
-    SELECT x.vec_id, CAST(c.cl AS BIGINT) AS cluster, {d} AS dist2
-    FROM micros x CROSS JOIN c{iters} c
-    QUALIFY row_number() OVER (PARTITION BY x.vec_id ORDER BY dist2, c.cl) = 1
+    {final}
+    """
+
+
+# ------------------------------------------------------- semantic dedup
+
+SEMDEDUP_MICRO = 950_000
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = K_CLUSTERS,
+    iters: int = ITERS,
+    micro: int = SEMDEDUP_MICRO,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    cluster-bucketed exact cosine — the k-means alternative to
+    similarity.neardup_pairs' hyperplane-LSH buckets.
+
+    The trained clusters ARE the candidate buckets: the pair join runs
+    within each cluster only, so the quadratic blowup is bounded at
+    sum_c n_c^2 instead of n^2. At web scale k grows with the corpus
+    (n/k held roughly constant — the paper runs 50k clusters on LAION),
+    keeping the per-bucket pair count flat; k=8 here is the test-scale
+    default of the shared trainer. Identical vectors always land in the
+    same cluster (identical exact distances, same tie-break), so recall
+    on exact duplicates is 1.0; merely-close pairs split across a
+    cluster boundary are outside the contract by design (the same trade
+    LSH makes with its hamming<=1 probe set, traded differently).
+
+    Per pair, `drop_id` is the SemDeDup keep-decision: drop the member
+    FARTHER from its centroid (exact integer dist2 from the shared
+    assignment; ties drop the larger vec_id) — keeping the
+    centroid-proximal representative of each duplicate neighborhood.
+
+    Like kmeans_clusters (which this calls), building the DataFrame
+    runs the eager per-iteration collects; the pair join itself is one
+    shuffle on the cluster key plus the broadcast-size assignment join.
+
+    Output: (cluster, id_a, id_b, cos_micro, drop_id), id_a < id_b,
+    cos_micro >= micro."""
+    from easyocr_spark.operators.similarity import _norm2, cos_micro_pre
+
+    assigned = kmeans_clusters(embeddings, k, iters)
+    sides = embeddings.join(assigned, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "dist2",
+        "embedding",
+        _norm2(F.col("embedding")).alias("n2"),
+    )
+    a = sides.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("dist2").alias("da"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+    )
+    b = sides.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("dist2").alias("db"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            cos_micro_pre(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos_micro"),
+            F.when(F.col("da") > F.col("db"), F.col("id_a"))
+            .when(F.col("db") > F.col("da"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("drop_id"),
+        )
+        .filter(F.col("cos_micro") >= micro)
+    )
+
+
+def duckdb_semdedup_sql(
+    table: str = "embeddings",
+    k: int = K_CLUSTERS,
+    iters: int = ITERS,
+    micro: int = SEMDEDUP_MICRO,
+) -> str:
+    """Extends the Lloyd's CTE chain with the within-cluster pair scan:
+    same assignment bit-for-bit, same exact-cosine formula as the
+    neardup oracle, same drop rule on the integer dist2."""
+    from easyocr_spark.operators.similarity import duck_cos_micro
+
+    ctes, final = _kmeans_ctes(table, k, iters)
+    cc = duck_cos_micro("a.embedding", "b.embedding")
+    ctes.append(f"assign AS ({final})")
+    ctes.append(
+        f"""sides AS (
+          SELECT p.vec_id, s.cluster, s.dist2, p.embedding
+          FROM {table} p JOIN assign s USING (vec_id)
+        )"""
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT a.cluster,
+           a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           {cc} AS cos_micro,
+           CASE WHEN a.dist2 > b.dist2 THEN a.vec_id
+                WHEN b.dist2 > a.dist2 THEN b.vec_id
+                ELSE greatest(a.vec_id, b.vec_id) END AS drop_id
+    FROM sides a JOIN sides b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cc} >= {micro}
     """

@@ -104,3 +104,69 @@ def test_engine_parity_parameterized(spark):
     pd.testing.assert_frame_equal(
         spark_out.astype("int64"), duck_out.astype("int64")
     )
+
+
+def _semdedup_vecs():
+    """Two blobs plus exact copies: id 100 copies id 5 (blob A), id 101
+    copies id 28 (blob B, the init id), id 102 copies id 5 again — a
+    3-member duplicate neighborhood and a 2-member one, in different
+    clusters."""
+    vecs = _two_blob_vecs()
+    vecs[100] = vecs[5]
+    vecs[101] = vecs[28]
+    vecs[102] = vecs[5]
+    return vecs
+
+
+def test_semantic_dedup_finds_planted_copies(spark):
+    out = (
+        cl.semantic_dedup_pairs(_emb_df(spark, _semdedup_vecs()), k=2, iters=2)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # exact copies co-cluster always -> every planted pair found at
+    # cos_micro == 1_000_000 (the single-axis blob vectors are all
+    # PARALLEL, so non-copy within-blob pairs also hit 1.0 — the blob
+    # corpus exercises the drop rule's dist2 branch on those)
+    pairs = set(zip(out.id_a, out.id_b))
+    planted = {(5, 100), (5, 102), (100, 102), (28, 101)}
+    assert planted <= pairs
+    by_pair = out.set_index(["id_a", "id_b"])
+    for p in planted:
+        r = by_pair.loc[p]
+        assert r.cos_micro == 1_000_000
+        # identical vectors -> equal dist2 -> tie drops the larger id
+        assert r.drop_id == max(p)
+    # drop_id is always one of the pair, and pairs are ordered
+    assert out.apply(
+        lambda r: r.drop_id in (r.id_a, r.id_b), axis=1
+    ).all()
+    assert (out.id_a < out.id_b).all()
+
+
+def test_semantic_dedup_engine_parity(spark):
+    vecs = _semdedup_vecs()
+    spark_out = (
+        cl.semantic_dedup_pairs(_emb_df(spark, vecs), k=2, iters=2)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [list(map(float, v)) for v in vecs.values()],
+        }
+    )
+    con.register("embeddings", pdf)
+    duck_out = (
+        con.sql(cl.duckdb_semdedup_sql(k=2, iters=2))
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_out.astype("int64"), duck_out.astype("int64")
+    )
