@@ -23,12 +23,14 @@ from pyspark.sql import functions as F
 from easyocr_spark.fixtures import corpus
 from easyocr_spark.ocr import udfs
 from easyocr_spark.operators import (
+    bpe,
     clustering,
     dedup,
     events,
     mixing,
     pii,
     pipeline,
+    sharding,
     similarity,
     sketches,
 )
@@ -416,6 +418,34 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_signals(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich merge learning): the trained
+    merge table. Eager per-iteration pair-count jobs, like kmeans."""
+    return bpe.bpe_merges_df(
+        spark, tables.read_table(spark, sf_dir, "documents")
+    )
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merges applied back to the vocabulary: per-word
+    final segmentation (trains first, then derives lazily)."""
+    return bpe.bpe_segment(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer application: per-doc word/BPE-token counts —
+    bounded vocab joined (AQE-broadcast) onto the exploded corpus."""
+    return bpe.bpe_encode(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split + epoch-shard assignment (the
+    reproducible hash-ordered 'global shuffle')."""
+    return sharding.train_split_shards(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.stratified_sample(tables.read_table(spark, sf_dir, "documents"))
 
@@ -761,6 +791,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        "bpe_encode": q_bpe_encode,
+        "train_split_shards": q_train_split_shards,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "bloom_membership": q_bloom_membership,
         "pii_scan": q_pii_scan,
@@ -907,6 +941,10 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),
         "tfidf_top_terms": ta.duckdb_tfidf_sql(),
+        "bpe_merges": bpe.duckdb_bpe_merges_sql(),
+        "bpe_segment": bpe.duckdb_bpe_segment_sql(),
+        "bpe_encode": bpe.duckdb_bpe_encode_sql(),
+        "train_split_shards": sharding.duckdb_split_shards_sql(),
         "countmin_heavy_hitters": sketches.duckdb_countmin_sql(),
         "bloom_membership": sketches.duckdb_bloom_sql(),
         "pii_scan": pii.duckdb_pii_sql(),

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from easyocr_spark.operators import sharding
+
+
+def _docs(spark, n=300):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n), "text": ["x"] * n})
+    )
+
+
+def test_split_shards_shape_and_determinism(spark):
+    out = sharding.train_split_shards(_docs(spark), shards=4).toPandas()
+    assert len(out) == 300
+    assert set(out["split"].unique()) <= {"train", "val", "test"}
+    # 90/5/5-ish on 300 uniform hashes
+    frac = (out["split"] == "train").mean()
+    assert 0.8 < frac < 0.97
+    assert set(out["shard"].unique()) <= set(range(4))
+    # epoch_pos is a contiguous 1..n ordering within each (split, shard)
+    for (_, _), g in out.groupby(["split", "shard"]):
+        assert sorted(g["epoch_pos"]) == list(range(1, len(g) + 1))
+    # rerun on a subset: assignments of surviving docs are unchanged
+    sub = sharding.train_split_shards(_docs(spark, 150), shards=4).toPandas()
+    merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+    assert (merged["shard_sub"] == merged["shard_full"]).all()
+
+
+def test_split_shards_engine_parity(spark):
+    s = (
+        sharding.train_split_shards(_docs(spark), shards=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(300)}))
+    d = (
+        con.sql(sharding.duckdb_split_shards_sql(shards=4))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        s.astype({"shard": "int64", "epoch_pos": "int64"}), d
+    )
