@@ -30,6 +30,7 @@ from easyocr_spark.operators import (
     mixing,
     pii,
     pipeline,
+    retrieval,
     sharding,
     similarity,
     sketches,
@@ -385,6 +386,30 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document spans covered by 10-token windows that occur verbatim
     in >= 2 distinct documents — linear plan, no document pair join."""
     return dedup.duplicate_spans(_mutated(spark, sf_dir))
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: rightmost-min of each 4-window of
+    char-4-gram poly hashes, selected via an integer (hash, offset)
+    encoding that makes plain array_min the rightmost-argmin — narrow
+    per-doc projection + one distinct shuffle."""
+    return dedup.winnowing_fingerprints(_mutated(spark, sf_dir))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with Zipf-skew discipline: (word, df, total_tf)
+    stats for every word, canonical positional postings ONLY for words
+    with df <= 32 — head words never materialize a corpus-sized list."""
+    return retrieval.inverted_index(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank length percentiles (25/50/75/90/99) per
+    language — pure-integer rank rule, one row_number window per lang
+    partition."""
+    return ta.length_quantiles(tables.read_table(spark, sf_dir, "documents"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +807,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_components": q_dedup_components,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_keeplist": q_dedup_keeplist,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "inverted_index": q_inverted_index,
+        "length_quantiles": q_length_quantiles,
         "decontaminate": q_decontaminate,
         "curation_manifest": q_curation_manifest,
         "lang_id": q_lang_id,
@@ -930,6 +958,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": dedup.duckdb_components_sql(mutants),
         "dedup_substring_spans": dedup.duckdb_duplicate_spans_sql(mutants),
         "dedup_keeplist": dedup.duckdb_keeplist_sql(mutants),
+        "winnowing_fingerprints": dedup.duckdb_winnowing_sql(mutants),
+        "inverted_index": retrieval.duckdb_inverted_index_sql(),
+        "length_quantiles": ta.duckdb_length_quantiles_sql(),
         "decontaminate": dedup.duckdb_decontaminate_sql(
             "SELECT * FROM documents"
         ),

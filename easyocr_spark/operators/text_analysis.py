@@ -720,3 +720,73 @@ def duckdb_lm_cross_entropy_sql(table_sql: str = "SELECT * FROM documents") -> s
     FROM bg JOIN model USING (bg)
     GROUP BY doc_id
     """.replace("{table_sql}", table_sql)
+
+
+# ------------------------------------------------- exact length quantiles
+QUANTILE_PCTS = [25, 50, 75, 90, 99]
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact nearest-rank percentiles of document length per language —
+    the distribution audit every curation run starts from (what IS
+    p99 length in this slice? where do the truncation cliffs sit?).
+
+    Nearest-rank definition (the one that's engine-exact): the value at
+    sorted rank ceil(p*n/100), ties broken by doc_id so the picked ROW
+    is deterministic even though ties never change the picked VALUE.
+    Spark shape: one row_number window per language partition (the
+    number of sort partitions = number of languages; at web scale a
+    length histogram + cumulative-sum over the bounded bucket table is
+    the constant-memory variant — this exact form is the audit tool,
+    sized for per-slice distributions, not the full corpus at once).
+    No floats anywhere: rank = (p*n + 99) div 100 in both engines.
+
+    Output: (lang, pct, n_docs, len_at_pct)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_docs"),
+    )
+    pcts = F.array(*[F.lit(p) for p in QUANTILE_PCTS])
+    return (
+        ranked.select(
+            "lang",
+            "n_chars",
+            "n_docs",
+            "rn",
+            F.explode(pcts).alias("pct"),
+        )
+        .filter(
+            F.col("rn")
+            == ((F.col("pct") * F.col("n_docs") + 99) / 100).cast("long")
+        )
+        .select(
+            "lang",
+            F.col("pct").cast("long").alias("pct"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chars").alias("len_at_pct"),
+        )
+    )
+
+
+def duckdb_length_quantiles_sql(table: str = "documents") -> str:
+    pcts = ", ".join(str(p) for p in QUANTILE_PCTS)
+    return f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_docs
+      FROM {table}
+    )
+    SELECT lang, CAST(pct AS BIGINT) AS pct,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_chars AS len_at_pct
+    FROM ranked, UNNEST([{pcts}]) AS t(pct)
+    WHERE rn = (pct * n_docs + 99) // 100
+    """

@@ -1,0 +1,184 @@
+"""Inverted index, winnowing fingerprints, and exact length quantiles —
+semantics plus DuckDB engine parity on hand-built corpora."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from easyocr_spark.operators import dedup, retrieval
+from easyocr_spark.operators import text_analysis as ta
+
+
+def _con(pdf: pd.DataFrame) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return con
+
+
+# ------------------------------------------------------- inverted index
+def test_inverted_index_semantics(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["apple banana apple", "banana cherry apple", "apple"],
+        }
+    )
+    out = (
+        retrieval.inverted_index(spark.createDataFrame(pdf), df_cap=2)
+        .toPandas()
+        .set_index("word")
+    )
+    assert out.loc["banana", "df"] == 2
+    assert out.loc["banana", "total_tf"] == 2
+    assert out.loc["banana", "postings"] == "1:1 2:1"
+    assert out.loc["cherry", "postings"] == "2:1"
+    # df=3 > cap=2: stats survive, postings suppressed
+    assert out.loc["apple", "df"] == 3
+    assert out.loc["apple", "total_tf"] == 4
+    assert out.loc["apple", "postings"] == ""
+
+
+def test_inverted_index_engine_parity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": [f"tok{i % 7} tok{i % 3} shared" for i in range(40)],
+        }
+    )
+    got = (
+        retrieval.inverted_index(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    con = _con(pdf)
+    exp = (
+        con.sql(retrieval.duckdb_inverted_index_sql())
+        .df()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"df": "int64", "total_tf": "int64"}),
+        exp.astype({"df": "int64", "total_tf": "int64"}),
+    )
+
+
+# -------------------------------------------------- winnowing fingerprints
+def test_winnowing_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k+w-1 must yield at least one
+    shared fingerprint hash (the Schleimer coverage guarantee)."""
+    shared = "zqvxkwyjmbf"  # k+w-1 = 7 < len
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"aaaa {shared} bbbb", f"cccc dddd {shared} eee"],
+        }
+    )
+    out = dedup.winnowing_fingerprints(spark.createDataFrame(pdf)).toPandas()
+    h1 = set(out[out["doc_id"] == 1]["fp_hash"])
+    h2 = set(out[out["doc_id"] == 2]["fp_hash"])
+    assert h1 & h2, "shared substring produced no shared fingerprint"
+
+
+def test_winnowing_density_and_positions(spark):
+    pdf = pd.DataFrame({"doc_id": [7], "text": ["the quick brown fox " * 5]})
+    out = dedup.winnowing_fingerprints(spark.createDataFrame(pdf)).toPandas()
+    n_grams = len("the quick brown fox " * 5) - dedup.WIN_K + 1
+    # expected density 2/(w+1) = 0.4; distinct-dedup pulls it lower on
+    # repetitive text — just bound it away from 0 and 1
+    assert 0 < len(out) < n_grams
+    assert (out["pos"] >= 0).all() and (out["pos"] < n_grams).all()
+    # deterministic: rerun identical
+    again = dedup.winnowing_fingerprints(spark.createDataFrame(pdf)).toPandas()
+    key = ["doc_id", "pos", "fp_hash"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_winnowing_engine_parity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+                "the quick brown fox jumps over the lazy dog again",
+                "x",  # shorter than k: no fingerprints
+            ],
+        }
+    )
+    key = ["doc_id", "pos", "fp_hash"]
+    got = (
+        dedup.winnowing_fingerprints(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    con = _con(pdf)
+    exp = (
+        con.sql(dedup.duckdb_winnowing_sql("SELECT * FROM documents"))
+        .df()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert (got["doc_id"] == 4).sum() == 0
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
+
+
+# ------------------------------------------------------- length quantiles
+def test_length_quantiles_nearest_rank(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "lang": ["en"] * 10,
+            "text": ["x"] * 10,
+            "n_chars": [10, 20, 30, 40, 50, 60, 70, 80, 90, 100],
+        }
+    )
+    out = (
+        ta.length_quantiles(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("pct")
+    )
+    # nearest-rank on n=10: rank = ceil(p/10)
+    assert out.loc[25, "len_at_pct"] == 30
+    assert out.loc[50, "len_at_pct"] == 50
+    assert out.loc[75, "len_at_pct"] == 80
+    assert out.loc[90, "len_at_pct"] == 90
+    assert out.loc[99, "len_at_pct"] == 100
+    assert (out["n_docs"] == 10).all()
+
+
+def test_length_quantiles_engine_parity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "lang": ["en", "fr", "de"] * 20,
+            "text": ["x"] * 60,
+            "n_chars": [(i * 37) % 101 for i in range(60)],
+        }
+    )
+    key = ["lang", "pct"]
+    got = (
+        ta.length_quantiles(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    con = _con(pdf)
+    exp = (
+        con.sql(ta.duckdb_length_quantiles_sql())
+        .df()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in ("pct", "n_docs", "len_at_pct")}),
+        exp.astype({c: "int64" for c in ("pct", "n_docs", "len_at_pct")}),
+    )
