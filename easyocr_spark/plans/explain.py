@@ -25,7 +25,17 @@ def capture_plan(df) -> str:
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     from .. import session
-    from ..operators import clustering, dedup, mixing, pii, pipeline, similarity, sketches
+    from ..operators import (
+        clustering,
+        dedup,
+        mixing,
+        pii,
+        pipeline,
+        retrieval,
+        sharding,
+        similarity,
+        sketches,
+    )
     from ..operators import text_analysis as ta
     from ..sources import tables
 
@@ -93,6 +103,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         ),
         "bloom_membership (collected bit-array, map-side probe)": (
             sketches.bloom_membership(flat)
+        ),
+        "winnowing_fingerprints (Arrow kernel — zero Exchange)": (
+            dedup.winnowing_fingerprints(dedup.with_mutants(flat))
+        ),
+        "inverted_index (stats for all words, postings only under df cap)": (
+            retrieval.inverted_index(flat)
+        ),
+        "length_quantiles (one window per lang partition)": (
+            ta.length_quantiles(flat)
+        ),
+        "train_split_shards (narrow LCG keys; only the epoch-order shuffle)": (
+            sharding.train_split_shards(flat)
         ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
