@@ -201,6 +201,9 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("countmin", lambda: sketches.countmin_heavy_hitters(flat_docs))
     timed("bloom", lambda: sketches.bloom_membership(flat_docs))
     timed("kmeans", lambda: clustering.kmeans_clusters(emb))
+    timed("winnowing", lambda: dedup.winnowing_fingerprints(
+        dedup.with_mutants(flat_docs)
+    ))
 
     extract_sec = timings["extract"]
     result = {
