@@ -539,6 +539,17 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing.corpus_mix(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (Xie et al. 2023): per-doc
+    integer milli-bit log importance ratio of hashed word uni+bigram
+    features under the target (source in src1-3) vs raw distribution,
+    plus the deterministic keep rule (weight >= 0). One map-combining
+    shuffle to the tf table; the model collect is bounded by the FIXED
+    bucket count m=1024 — DSIR's hashing is what keeps the model
+    fixed-size at any corpus scale."""
+    return mixing.dsir_importance(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over deterministically augmented documents
     (doc_id % 4 picks email/phone/ipv4 injection; 1/4 stay clean as
@@ -827,6 +838,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bloom_membership": q_bloom_membership,
         "pii_scan": q_pii_scan,
         "corpus_mix": q_corpus_mix,
+        "dsir_importance": q_dsir_importance,
         "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
@@ -980,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": sketches.duckdb_bloom_sql(),
         "pii_scan": pii.duckdb_pii_sql(),
         "corpus_mix": mixing.duckdb_mix_sql(),
+        "dsir_importance": mixing.duckdb_dsir_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),

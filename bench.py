@@ -204,6 +204,7 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("winnowing", lambda: dedup.winnowing_fingerprints(
         dedup.with_mutants(flat_docs)
     ))
+    timed("dsir", lambda: mixing.dsir_importance(flat_docs))
 
     extract_sec = timings["extract"]
     result = {

@@ -1,4 +1,4 @@
-"""Temperature-based corpus mixing weights (the training-mix table).
+"""Corpus mixing and data-selection weights (the training-mix tables).
 
 LLM training runs don't sample sources uniformly: the standard recipe
 (GPT-3 / Pile / LLaMA style) draws stratum i with probability
@@ -25,10 +25,22 @@ not a data-scale shuffle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import HASH_BASE_1, HASH_BASE_3, HASH_MOD, _poly_hash, _duck_tok_fold
+
 PPM = 1_000_000
+
+# DSIR hashed-feature space: FIXED bucket count — the model the driver
+# collects is bounded by construction (m rows), unlike a vocabulary.
+DSIR_M = 1024
+# The deterministic stand-in for DSIR's curated target sample (the role
+# Wikipedia/books play in the paper): three pinned sources of this
+# corpus. Any source subset works; the operator takes it as a parameter.
+DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
 
 
 def corpus_mix(docs: DataFrame) -> DataFrame:
@@ -73,6 +85,196 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
         "temp_ppm",
         boost.alias("boost_milli"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    m: int = DSIR_M,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed word uni+bigram
+    features are under a TARGET distribution than under the RAW one,
+    log w(doc) = sum_b c_b(doc) * (log p_t[b] - log p_r[b]) — the
+    data-selection signal a pretraining pipeline uses to resample web
+    text toward a curated target. Here the target sample is the
+    deterministic subset ``source IN target_sources`` and raw is the
+    rest of the corpus; both distributions are Laplace-smoothed over
+    ``m`` hash buckets.
+
+    Scale shape (the lm_cross_entropy two-pass, improved): tokens hash
+    once via the engine-portable 31-bit polynomial fold (the SimHash
+    machinery), uni+bigram bucket ids fold map-side, and ONE
+    map-side-combining shuffle builds the (doc_id, is_target, bucket)
+    tf table. The bucket model aggregates tf to <= m rows — the driver
+    collect is bounded BY CONSTRUCTION (m buckets, not a vocabulary:
+    DSIR's hashing is exactly what makes the model fixed-size at any
+    corpus scale). Per-bucket log-ratios freeze driver-side as integer
+    MILLI-BITS, floor(1000*(log2(n_t+1) - log2(tot_t+m) - log2(n_r+1)
+    + log2(tot_r+m))), so scoring is a broadcast join + pure-integer
+    per-doc fold over the compressed tf table. No float crosses an
+    engine boundary un-floored; the DuckDB oracle recomputes the same
+    expression with the same libm log2 and left-to-right association.
+
+    keep=1 (weight_milli >= 0: more target-like than raw-like) is the
+    deterministic selection rule standing in for the paper's
+    importance-weighted resampling draw. The per-doc avg is NOT
+    emitted: integer division of the possibly-NEGATIVE weight would
+    hit the Spark-div-truncates vs DuckDB-floor divergence.
+
+    Output: (doc_id, n_feats, weight_milli, keep) for docs with at
+    least one token (every doc: an empty text still yields the
+    empty-token unigram hashing to bucket 0, identically in both
+    engines)."""
+    from pyspark import StorageLevel
+
+    toks = docs.select(
+        "doc_id",
+        F.col("source").isin(*target_sources).cast("int").alias("is_target"),
+        F.split(F.lower("text"), r"\s+").alias("toks"),
+    )
+    # char-code arrays materialized in their OWN projection before the
+    # fold (the lambda-CSE trap: an inlined HOF re-runs the per-char
+    # extraction once per downstream reference)
+    with_cs = toks.select(
+        "doc_id",
+        "is_target",
+        F.transform(
+            "toks", lambda t: F.transform(F.split(t, ""), F.ascii)
+        ).alias("css"),
+    )
+    hashed = with_cs.select(
+        "doc_id",
+        "is_target",
+        F.transform("css", lambda cs: _poly_hash(cs, HASH_BASE_1)).alias("h1"),
+    )
+    uni = F.transform("h1", lambda x: x % m)
+    bi = F.when(
+        F.size("h1") >= 2,
+        F.zip_with(
+            F.slice("h1", 1, F.size("h1") - 1),
+            F.slice("h1", 2, F.size("h1") - 1),
+            lambda a, b: ((a * HASH_BASE_3 + b) % HASH_MOD) % m,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    feats = hashed.select(
+        "doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("b")
+    )
+    # tf feeds BOTH the bounded model collect and the scoring join;
+    # persist so the explode+shuffle runs once (owned cache, released
+    # after the scored result materializes)
+    tf = (
+        feats.groupBy("doc_id", "is_target", "b")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bkt = (
+        tf.groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("is_target") == 1, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_t"),
+            F.sum(
+                F.when(F.col("is_target") == 0, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_r"),
+        )
+        .collect()
+    )
+    tot_t = sum(int(r["n_t"]) for r in bkt)
+    tot_r = sum(int(r["n_r"]) for r in bkt)
+    model_rows = sorted(
+        (
+            int(r["b"]),
+            int(
+                math.floor(
+                    1000.0
+                    * (
+                        math.log2(int(r["n_t"]) + 1)
+                        - math.log2(tot_t + m)
+                        - math.log2(int(r["n_r"]) + 1)
+                        + math.log2(tot_r + m)
+                    )
+                )
+            ),
+        )
+        for r in bkt
+    )
+    model = docs.sparkSession.createDataFrame(
+        model_rows, schema="b long, ratio_milli long"
+    )
+    out = (
+        tf.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("ratio_milli")).alias("weight_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "weight_milli",
+            (F.col("weight_milli") >= 0).cast("long").alias("keep"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    tf.unpersist()
+    return out
+
+
+def duckdb_dsir_sql(
+    table_sql: str = "SELECT * FROM documents",
+    m: int = DSIR_M,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> str:
+    srcs = ", ".join(f"'{s}'" for s in target_sources)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN source IN ({srcs}) THEN 1 ELSE 0 END AS is_target,
+             regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ),
+    hs AS (
+      SELECT doc_id, is_target, {_duck_tok_fold(HASH_BASE_1)} AS h1
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, is_target, u.b
+      FROM hs, UNNEST(list_concat(
+        list_transform(h1, x -> x % {m}),
+        list_transform(range(1, len(h1)),
+          i -> ((h1[CAST(i AS INT)] * {HASH_BASE_3}
+                 + h1[CAST(i + 1 AS INT)]) % {HASH_MOD}) % {m})
+      )) AS u(b)
+    ),
+    tf AS (
+      SELECT doc_id, is_target, b, count(*) AS cnt
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    bkt AS (
+      SELECT b,
+             sum(CASE WHEN is_target = 1 THEN cnt ELSE 0 END) AS n_t,
+             sum(CASE WHEN is_target = 0 THEN cnt ELSE 0 END) AS n_r
+      FROM tf GROUP BY 1
+    ),
+    tots AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM bkt),
+    model AS (
+      SELECT b,
+             CAST(floor(1000.0 * (log2(n_t + 1) - log2(tot_t + {m})
+                                  - log2(n_r + 1) + log2(tot_r + {m})))
+                  AS BIGINT) AS ratio_milli
+      FROM bkt, tots
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_feats,
+           CAST(sum(cnt * ratio_milli) AS BIGINT) AS weight_milli,
+           CAST(CASE WHEN sum(cnt * ratio_milli) >= 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM tf JOIN model USING (b)
+    GROUP BY doc_id
+    """
 
 
 def duckdb_mix_sql(table: str = "documents") -> str:

@@ -116,6 +116,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "train_split_shards (narrow LCG keys; only the epoch-order shuffle)": (
             sharding.train_split_shards(flat)
         ),
+        "dsir_importance (one tf shuffle; m-bounded broadcast model)": (
+            mixing.dsir_importance(flat)
+        ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
     # (results join-back + media join degrade to shuffle joins) and with

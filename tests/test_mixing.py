@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import duckdb
 import pandas as pd
 
 from easyocr_spark.operators import mixing
@@ -48,3 +49,58 @@ def test_single_stratum_identity(spark):
     assert out.raw_ppm.tolist() == [1_000_000]
     assert out.temp_ppm.tolist() == [1_000_000]
     assert out.boost_milli.tolist() == [1000]
+
+
+def _dsir_docs() -> pd.DataFrame:
+    target = "alpha beta gamma delta alpha beta"
+    rawvoc = "zeta eta theta iota kappa zeta"
+    rows = [
+        {"doc_id": i, "text": target, "lang": "en", "source": "src1", "n_chars": 1}
+        for i in range(6)
+    ]
+    rows += [
+        {"doc_id": 10 + i, "text": rawvoc, "lang": "en", "source": "src9", "n_chars": 1}
+        for i in range(5)
+    ]
+    # one RAW doc written in the target vocabulary — the doc DSIR exists
+    # to rescue from the raw pool
+    rows.append(
+        {"doc_id": 99, "text": target, "lang": "en", "source": "src9", "n_chars": 1}
+    )
+    return pd.DataFrame(rows)
+
+
+def test_dsir_directionality(spark):
+    """A raw-pool doc written in the target vocabulary scores positive
+    (keep=1) and above every raw-vocabulary doc; raw-vocabulary docs
+    score negative (their buckets have n_t=0, so the smoothed ratio is
+    -log2(n_r+1) < 0)."""
+    out = (
+        mixing.dsir_importance(spark.createDataFrame(_dsir_docs()))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 12
+    assert out.loc[99, "keep"] == 1
+    for i in range(5):
+        assert out.loc[10 + i, "keep"] == 0
+        assert out.loc[99, "weight_milli"] > out.loc[10 + i, "weight_milli"]
+
+
+def test_dsir_engine_parity(spark):
+    pdf = _dsir_docs()
+    s = (
+        mixing.dsir_importance(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    d = (
+        con.sql(mixing.duckdb_dsir_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s.astype("int64"), d.astype("int64"))
