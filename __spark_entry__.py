@@ -475,6 +475,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.stratified_sample(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic reservoir per lang (smallest-LCG-hash k,
+    doc_id tiebreak): fixed-budget eval-set carving; WindowGroupLimit
+    turns the rank filter into a map-side partial top-k before the
+    shuffle (plan pinned by test)."""
+    return ta.reservoir_sample(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
 
@@ -840,6 +848,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_mix": q_corpus_mix,
         "dsir_importance": q_dsir_importance,
         "stratified_sample": q_stratified_sample,
+        "reservoir_sample": q_reservoir_sample,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "sequence_pack": q_sequence_pack,
@@ -994,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": mixing.duckdb_mix_sql(),
         "dsir_importance": mixing.duckdb_dsir_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
+        "reservoir_sample": ta.duckdb_reservoir_sample_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "sequence_pack": ta.duckdb_sequence_pack_sql(),

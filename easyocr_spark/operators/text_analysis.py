@@ -218,6 +218,54 @@ def stratified_sample(
     )
 
 
+RESERVOIR_K = 40
+
+
+def reservoir_sample(docs: DataFrame, k: int = RESERVOIR_K) -> DataFrame:
+    """Exact-k deterministic reservoir per ``lang`` stratum: the k docs
+    with the smallest LCG hash (ties broken by doc_id) — the
+    fixed-budget companion to the rate-based ``stratified_sample``
+    (carving an eval set of EXACTLY k docs per language, reproducibly,
+    no RNG state). Equivalent to a uniform k-reservoir because the LCG
+    is a fixed permutation-ish scramble of doc_id.
+
+    Scale shape: declared as row_number over (lang / hash order) <= k,
+    which Spark >= 3.5 rewrites via WindowGroupLimit into a map-side
+    partial top-k BEFORE the shuffle (pinned by test) — each input
+    partition forwards at most k rows per lang, so the window sort
+    touches ~k * n_partitions rows per stratum, not the corpus. The
+    same declarative form is the oracle twin verbatim."""
+    from pyspark.sql import Window
+
+    h = (F.col("doc_id") * SAMPLE_MULT + SAMPLE_INC) % SAMPLE_MOD
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+def duckdb_reservoir_sample_sql(
+    table: str = "documents", k: int = RESERVOIR_K
+) -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (doc_id * {SAMPLE_MULT} + {SAMPLE_INC}) % {SAMPLE_MOD} AS h
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                  AS BIGINT) AS rk
+      FROM h
+    )
+    SELECT doc_id, lang, rk FROM ranked WHERE rk <= {k}
+    """
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
     duplicate-line, duplicate-token and most-frequent-bigram fractions

@@ -65,6 +65,52 @@ def test_stratified_sample_deterministic_and_capped(docs):
     assert sorted(out.doc_id) == sorted(again.doc_id)
 
 
+def test_reservoir_sample_exact_k_and_parity(spark):
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": ["x"] * 50,
+            "lang": ["en"] * 30 + ["de"] * 15 + ["es"] * 5,
+        }
+    )
+    out = ta.reservoir_sample(spark.createDataFrame(pdf), k=10).toPandas()
+    # exactly min(k, n) per stratum, rk contiguous from 1
+    sizes = out.groupby("lang").size().to_dict()
+    assert sizes == {"en": 10, "de": 10, "es": 5}
+    for _, g in out.groupby("lang"):
+        assert sorted(g.rk) == list(range(1, len(g) + 1))
+    # the k kept docs are exactly the k smallest LCG hashes
+    h = (pdf.doc_id * ta.SAMPLE_MULT + ta.SAMPLE_INC) % ta.SAMPLE_MOD
+    want = set(
+        pdf.assign(h=h)[pdf.lang == "en"].nsmallest(10, ["h", "doc_id"]).doc_id
+    )
+    assert set(out[out.lang == "en"].doc_id) == want
+    # engine parity
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    d = con.sql(ta.duckdb_reservoir_sample_sql(k=10)).df()
+    key = ["lang", "rk"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True).astype("object"),
+        d.sort_values(key).reset_index(drop=True).astype("object"),
+    )
+
+
+def test_reservoir_sample_window_group_limit_plan(spark):
+    """The declarative rank<=k filter must compile to a map-side
+    WindowGroupLimit (partial top-k BEFORE the shuffle) — the property
+    that makes the window form scale: each input partition forwards at
+    most k rows per stratum."""
+    pdf = pd.DataFrame(
+        {"doc_id": range(20), "text": ["x"] * 20, "lang": ["en"] * 20}
+    )
+    df = ta.reservoir_sample(spark.createDataFrame(pdf), k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_bench_previous_round_timings_rolling_min(tmp_path, monkeypatch):
     """bench.py's outlier baseline must unwrap the driver's BENCH_r*.json
     format (our JSON line nested under 'parsed') and take the rolling
