@@ -475,6 +475,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.stratified_sample(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style per-document overlapping token chunks (size 64,
+    stride 48): zero-shuffle Generate + slice — every token lands in at
+    least one chunk, boundary context preserved by the overlap."""
+    return ta.chunk_overlap(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic reservoir per lang (smallest-LCG-hash k,
     doc_id tiebreak): fixed-budget eval-set carving; WindowGroupLimit
@@ -849,6 +856,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dsir_importance": q_dsir_importance,
         "stratified_sample": q_stratified_sample,
         "reservoir_sample": q_reservoir_sample,
+        "chunk_overlap": q_chunk_overlap,
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "sequence_pack": q_sequence_pack,
@@ -1004,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": mixing.duckdb_dsir_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "reservoir_sample": ta.duckdb_reservoir_sample_sql(),
+        "chunk_overlap": ta.duckdb_chunk_overlap_sql(),
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "sequence_pack": ta.duckdb_sequence_pack_sql(),

@@ -220,6 +220,72 @@ def stratified_sample(
 
 RESERVOIR_K = 40
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_overlap(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Per-document overlapping token chunking (the RAG / embedding-prep
+    shape, as opposed to ``sequence_pack``'s cross-document
+    concat-and-chunk): windows of ``size`` tokens starting every
+    ``stride`` tokens, the trailing chunk allowed short — so every
+    token appears in at least one chunk and boundary context is kept
+    by the size-stride overlap.
+
+    Plan: tokenization + a Generate (posexplode of the start sequence)
+    + per-chunk slice/join — ZERO shuffles, whole-stage codegen around
+    the Generate; chunk count per doc is ceil(n_toks/stride). Output:
+    (doc_id, chunk_idx, start_tok, n_chunk_toks, chunk_text); an empty
+    text yields one empty chunk (the empty-token tokenization edge,
+    identical in both engines)."""
+    t = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    ex = t.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    ).withColumn("chunk", F.slice("toks", F.col("start_tok") + 1, size))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size("chunk").cast("long").alias("n_chunk_toks"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+def duckdb_chunk_overlap_sql(
+    table: str = "documents",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM {table}
+    ),
+    ex AS (
+      SELECT doc_id, toks,
+             CAST(u.i // {stride} AS BIGINT) AS chunk_idx,
+             CAST(u.i AS BIGINT) AS start_tok
+      FROM t, UNNEST(range(0, greatest(len(toks), 1), {stride})) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(toks[CAST(start_tok + 1 AS INT)
+                         : CAST(start_tok + {size} AS INT)]) AS BIGINT)
+             AS n_chunk_toks,
+           array_to_string(toks[CAST(start_tok + 1 AS INT)
+                                : CAST(start_tok + {size} AS INT)], ' ')
+             AS chunk_text
+    FROM ex
+    """
+
 
 def reservoir_sample(docs: DataFrame, k: int = RESERVOIR_K) -> DataFrame:
     """Exact-k deterministic reservoir per ``lang`` stratum: the k docs

@@ -111,6 +111,43 @@ def test_reservoir_sample_window_group_limit_plan(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_chunk_overlap_coverage_and_parity(spark):
+    """Every token is covered, consecutive chunks overlap by
+    size-stride, the trailing chunk is short, and the DuckDB twin
+    agrees exactly (including the empty-text one-empty-chunk edge)."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b c d e f g", "x", ""]}
+    )
+    out = (
+        ta.chunk_overlap(spark.createDataFrame(pdf), size=4, stride=3)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    assert d0.chunk_text.tolist() == ["a b c d", "d e f g", "g"]
+    assert d0.start_tok.tolist() == [0, 3, 6]
+    assert out[out.doc_id == 2].chunk_text.tolist() == [""]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    d = (
+        con.sql(ta.duckdb_chunk_overlap_sql(size=4, stride=3))
+        .df()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, d)
+
+
+def test_chunk_overlap_zero_exchange_plan(spark):
+    pdf = pd.DataFrame({"doc_id": [0], "text": ["a b c"]})
+    df = ta.chunk_overlap(spark.createDataFrame(pdf))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_bench_previous_round_timings_rolling_min(tmp_path, monkeypatch):
     """bench.py's outlier baseline must unwrap the driver's BENCH_r*.json
     format (our JSON line nested under 'parsed') and take the rolling
