@@ -618,6 +618,16 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring per label stratum: exact int64
+    squared micro-distance to the OWN label's centroid, normalized by
+    the stratum mean (is_outlier at >= 2x mean) — fully declarative, no
+    collect: two bounded map-combining shuffles + broadcast join-backs."""
+    return clustering.embedding_outliers(
+        tables.read_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(
         similarity.with_planted_dups(tables.read_table(spark, sf_dir, "embeddings"))
@@ -866,6 +876,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "kmeans_clusters": q_kmeans_clusters,
+        "embedding_outliers": q_embedding_outliers,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "events_sessionize": q_events_sessionize,
@@ -1025,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": similarity.duckdb_ivf_topk_sql(),
         "knn_pq": similarity.duckdb_pq_topk_sql(),
         "kmeans_clusters": clustering.duckdb_kmeans_sql(),
+        "embedding_outliers": clustering.duckdb_embedding_outliers_sql(),
         "embedding_neardup": similarity.duckdb_neardup_sql(),
         "semantic_dedup": clustering.duckdb_semdedup_sql(
             table=f"({similarity.DUCK_PLANTED})"

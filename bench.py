@@ -205,6 +205,7 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         dedup.with_mutants(flat_docs)
     ))
     timed("dsir", lambda: mixing.dsir_importance(flat_docs))
+    timed("embedding_outliers", lambda: clustering.embedding_outliers(emb))
 
     extract_sec = timings["extract"]
     result = {

@@ -204,6 +204,138 @@ def duckdb_kmeans_sql(
     """
 
 
+# --------------------------------------------------- embedding outliers
+
+OUTLIER_RATIO_MILLI = 2000
+
+
+def embedding_outliers(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space outlier scoring per labeled stratum: each
+    vector's exact int64 squared micro-distance to its OWN label's
+    centroid, normalized by the label's mean distance — the
+    embedding-side quality filter (CLIP-score-style: a doc far from
+    its stratum's centroid is mislabeled, noisy, or off-distribution,
+    a drop candidate before training). is_outlier flags vectors at
+    >= 2x their stratum's mean squared distance.
+
+    Fully declarative — NO driver collect (unlike Lloyd's, nothing is
+    iterative): two bounded map-side-combining shuffles (the
+    |labels| x DIM centroid sum and the |labels|-row mean), each
+    joined back broadcast-size, everything else narrow codegen.
+    Centroids use the kmeans floor(double(sum)/count) rule (exact
+    while per-label component sums stay under 2^53 — ~9e9 docs at
+    micro scale). The dist2 sum for the mean is cast to decimal(38,0)
+    (Spark) / hugeint (DuckDB) so it is EXACT at any count, then both
+    engines round the exact integer to double identically
+    (round-to-nearest) before the floored division; ratio_milli
+    similarly floors (dist2*1000)/mean from an exact int64 numerator.
+
+    The per-vector distance table feeds BOTH the stratum-mean
+    aggregation and the final join, so it is persisted across the two
+    (owned cache, the lm_cross_entropy pattern) — without it the whole
+    upstream including the DIM-wide centroid aggregation re-runs on
+    each branch. Returns an EAGERLY PERSISTED DataFrame; the CALLER
+    owns unpersisting it when done.
+
+    Output: (vec_id, label, dist2, mean_d2, ratio_milli, is_outlier);
+    a degenerate stratum with mean 0 (all vectors identical) flags
+    nothing."""
+    mdf = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        _micros(F.col("embedding")).alias("m"),
+    )
+    sums = mdf.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("m")[j]).alias(f"s{j}") for j in range(DIM)],
+    )
+    cm = sums.select(
+        "label",
+        F.array(
+            *[
+                F.floor(F.col(f"s{j}").cast("double") / F.col("n")).cast("long")
+                for j in range(DIM)
+            ]
+        ).alias("cm"),
+    )
+    d = (
+        mdf.join(F.broadcast(cm), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("m"), F.col("cm"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mu = d.groupBy("label").agg(
+        F.floor(
+            F.sum(F.col("dist2").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_d2")
+    )
+    ratio = F.when(
+        F.col("mean_d2") > 0,
+        F.floor(
+            (F.col("dist2") * F.lit(1000)).cast("double") / F.col("mean_d2")
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return d.join(F.broadcast(mu), "label").select(
+        "vec_id",
+        "label",
+        "dist2",
+        "mean_d2",
+        ratio.alias("ratio_milli"),
+        (ratio >= OUTLIER_RATIO_MILLI).cast("long").alias("is_outlier"),
+    )
+
+
+def duckdb_embedding_outliers_sql(table: str = "embeddings") -> str:
+    return f"""
+    WITH micros AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {MICRO}.0) AS BIGINT)) AS m
+      FROM {table}
+    ),
+    cent AS (
+      SELECT label, j,
+             CAST(floor(CAST(sum(m[j]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      FROM micros, generate_series(1, {DIM}) AS t(j)
+      GROUP BY label, j
+    ),
+    cm AS (SELECT label, list(cv ORDER BY j) AS cm FROM cent GROUP BY label),
+    d AS (
+      SELECT x.vec_id, x.label,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}),
+               j -> (x.m[j] - c.cm[j]) * (x.m[j] - c.cm[j]))) AS BIGINT) AS dist2
+      FROM micros x JOIN cm c USING (label)
+    ),
+    mu AS (
+      SELECT label,
+             CAST(floor(CAST(sum(dist2) AS DOUBLE) / count(*)) AS BIGINT)
+               AS mean_d2
+      FROM d GROUP BY label
+    )
+    SELECT vec_id, label, dist2, mean_d2,
+           CAST(CASE WHEN mean_d2 > 0
+                     THEN floor(CAST(dist2 * 1000 AS DOUBLE) / mean_d2)
+                     ELSE 0 END AS BIGINT) AS ratio_milli,
+           CAST(CASE WHEN mean_d2 > 0
+                      AND floor(CAST(dist2 * 1000 AS DOUBLE) / mean_d2)
+                          >= {OUTLIER_RATIO_MILLI}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM d JOIN mu USING (label)
+    """
+
+
 # ------------------------------------------------------- semantic dedup
 
 SEMDEDUP_MICRO = 950_000

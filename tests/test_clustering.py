@@ -170,3 +170,72 @@ def test_semantic_dedup_engine_parity(spark):
     pd.testing.assert_frame_equal(
         spark_out.astype("int64"), duck_out.astype("int64")
     )
+
+
+def _labeled_emb_df(spark):
+    """Label 0: tight blob on axis 0 + ONE far outlier (id 9, axis 2);
+    label 1: tight blob on axis 1; label 2: two identical vectors (the
+    degenerate mean-0 stratum that must flag nothing)."""
+    vecs, labels = {}, {}
+    for i in range(8):
+        v = np.zeros(DIM, dtype=np.float32)
+        v[0] = 1.0 + i * 0.001
+        vecs[i], labels[i] = v, 0
+    out = np.zeros(DIM, dtype=np.float32)
+    out[2] = 5.0
+    vecs[9], labels[9] = out, 0
+    # genuinely tight: two values symmetric around the mean, so every
+    # member sits at ~1x the stratum mean dist2 (a uniform LINE would
+    # put its endpoints at ~3x mean — correctly flagged, wrong fixture)
+    for i in range(20, 26):
+        v = np.zeros(DIM, dtype=np.float32)
+        v[1] = 2.0 + (i % 2) * 0.001
+        vecs[i], labels[i] = v, 1
+    same = np.full(DIM, 0.25, dtype=np.float32)
+    vecs[40], labels[40] = same, 2
+    vecs[41], labels[41] = same, 2
+    return pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [vecs[k] for k in vecs],
+            "label": [labels[k] for k in vecs],
+        }
+    )
+
+
+def test_embedding_outliers_flags_far_vector_only(spark):
+    pdf = _labeled_emb_df(spark)
+    out = (
+        cl.embedding_outliers(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == len(pdf)
+    # the planted far vector is the only flagged one in label 0
+    assert out.loc[9, "is_outlier"] == 1
+    assert out[out.label == 0].is_outlier.sum() == 1
+    # the tight blob of label 1 flags nothing
+    assert out[out.label == 1].is_outlier.sum() == 0
+    # degenerate stratum: mean 0, ratio 0, no flags
+    assert (out[out.label == 2].mean_d2 == 0).all()
+    assert (out[out.label == 2].ratio_milli == 0).all()
+    assert out[out.label == 2].is_outlier.sum() == 0
+
+
+def test_embedding_outliers_engine_parity(spark):
+    pdf = _labeled_emb_df(spark)
+    s = (
+        cl.embedding_outliers(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    d = (
+        con.sql(cl.duckdb_embedding_outliers_sql())
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s.astype("int64"), d.astype("int64"))
