@@ -119,6 +119,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "dsir_importance (one tf shuffle; m-bounded broadcast model)": (
             mixing.dsir_importance(flat)
         ),
+        "reservoir_sample (WindowGroupLimit = map-side partial top-k)": (
+            ta.reservoir_sample(flat)
+        ),
+        "chunk_overlap (zero-Exchange Generate + slice)": (
+            ta.chunk_overlap(flat)
+        ),
+        "embedding_outliers (no collect; two bounded shuffles)": (
+            clustering.embedding_outliers(emb)
+        ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
     # (results join-back + media join degrade to shuffle joins) and with
