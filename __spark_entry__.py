@@ -370,6 +370,16 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keeplist(_mutated(spark, sf_dir))
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-by-source duplication-flow matrix (syndication audit):
+    near-dup pairs from the scalable MinHash+LSH path, sources
+    canonicalized least/greatest, bounded |sources|^2 output; the two
+    source-lookup joins run on the tiny verified-pair table."""
+    return dedup.dup_source_matrix(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/Llama recipe): per training
     doc, how many of its distinct 10-token grams appear anywhere in
@@ -843,6 +853,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_components": q_dedup_components,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_keeplist": q_dedup_keeplist,
+        "dup_source_matrix": q_dup_source_matrix,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "inverted_index": q_inverted_index,
         "length_quantiles": q_length_quantiles,
@@ -998,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": dedup.duckdb_components_sql(mutants),
         "dedup_substring_spans": dedup.duckdb_duplicate_spans_sql(mutants),
         "dedup_keeplist": dedup.duckdb_keeplist_sql(mutants),
+        "dup_source_matrix": dedup.duckdb_dup_source_matrix_sql(),
         "winnowing_fingerprints": dedup.duckdb_winnowing_sql(mutants),
         "inverted_index": retrieval.duckdb_inverted_index_sql(),
         "length_quantiles": ta.duckdb_length_quantiles_sql(),

@@ -1251,3 +1251,105 @@ def duckdb_winnowing_sql(
            (enc >> {WIN_POS_BITS})::BIGINT AS fp_hash
     FROM (SELECT doc_id, unnest(encs) AS enc FROM encs)
     """
+
+
+# --------------------------------------------------- source dup matrix
+def dup_source_matrix(
+    docs: DataFrame, threshold_milli: int = JACCARD_MILLI
+) -> DataFrame:
+    """Source-by-source duplication-flow matrix: how many near-dup
+    pairs connect each (unordered) pair of sources, and how similar
+    they are — the syndication audit a corpus curator runs to find
+    which feeds mirror which before deciding per-source dedup policy.
+    Runs over the mutant-augmented corpus (the shared dedup fixture),
+    with mutant/exact copies inheriting their original's source.
+
+    Plan: the near-dup pairs come from the linear-scalable
+    minhash_lsh_pairs path (banded candidates + exact verify, NOT the
+    quadratic oracle baseline); the pair table that reaches this
+    operator is tiny relative to the corpus (only true near-dups
+    survive verification), so the two source-lookup joins are
+    AQE-broadcastable in the common case and the final aggregation is
+    bounded by |sources|^2. Sources canonicalize with least/greatest
+    so A->B and B->A land in one cell; mean jaccard is an exact
+    integer floor-division (both operands positive — Spark `div` and
+    DuckDB `//` agree)."""
+    pairs = minhash_lsh_pairs(with_mutants(docs), threshold_milli)
+    base = docs.select("doc_id", "source")
+    src = (
+        base.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"), "source"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 25 == 7).select(
+                (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "source"
+            )
+        )
+    )
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard_milli",
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jaccard_milli").alias("sj"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.expr("sj div n_pairs").alias("mean_jaccard_milli"),
+        )
+    )
+
+
+def duckdb_dup_source_matrix_sql(
+    table: str = "documents", threshold_milli: int = JACCARD_MILLI
+) -> str:
+    mutants = duckdb_with_mutants_sql(table)
+    return f"""
+    WITH pairs AS (
+      SELECT * FROM ({duckdb_jaccard_sql(mutants, threshold_milli)})
+    ),
+    src AS (
+      SELECT doc_id, source FROM {table}
+      UNION ALL
+      SELECT doc_id + {MUTANT_OFFSET} AS doc_id, source
+      FROM {table} WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + {EXACT_OFFSET} AS doc_id, source
+      FROM {table} WHERE doc_id % 25 = 7
+    ),
+    cells AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             jaccard_milli
+      FROM pairs
+      JOIN src a ON a.doc_id = pairs.doc_a
+      JOIN src b ON b.doc_id = pairs.doc_b
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jaccard_milli) // count(*) AS BIGINT) AS mean_jaccard_milli
+    FROM cells
+    GROUP BY 1, 2
+    """

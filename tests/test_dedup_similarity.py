@@ -490,3 +490,53 @@ def test_curation_manifest_reason_ladder(spark):
     assert out.loc[11, "reason"] == "repetitive"
     assert out.loc[13, "reason"] == "ok" and bool(out.loc[13, "keep"])
     assert not out.drop([20, 13]).keep.any()
+
+
+def test_dup_source_matrix_semantics_and_parity(spark):
+    """Docs 0/3 are near-identical across src_a/src_b -> one off-diag
+    cell; doc 3 also spawns a mutant (doc_id%10==3) inheriting src_b ->
+    the (src_b, src_b) diagonal cell; sources canonicalize
+    least/greatest; DuckDB twin agrees exactly."""
+    import duckdb
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 2, 3, 4],
+            "text": [
+                t,
+                "completely different text about spark shuffles and partitions",
+                t,
+                "unrelated words here nothing shared with others at all",
+            ],
+            "source": ["src_a", "src_c", "src_b", "src_c"],
+        }
+    )
+    out = (
+        dedup.dup_source_matrix(spark.createDataFrame(pdf), threshold_milli=800)
+        .toPandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    cells = {
+        (r.source_a, r.source_b): (r.n_pairs, r.mean_jaccard_milli)
+        for r in out.itertuples()
+    }
+    # cross-source near-identical pair: 0 vs 3 AND 0 vs mutant(3)
+    assert ("src_a", "src_b") in cells
+    # doc 3's mutant inherits src_b: within-source cell exists
+    assert ("src_b", "src_b") in cells
+    assert cells[("src_b", "src_b")][1] >= 800
+    # the unrelated source never appears
+    assert not any("src_c" in c for c in cells)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    d = (
+        con.sql(dedup.duckdb_dup_source_matrix_sql(threshold_milli=800))
+        .df()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n_pairs": "int64", "mean_jaccard_milli": "int64"}), d
+    )
