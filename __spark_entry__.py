@@ -398,6 +398,14 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(_mutated(spark, sf_dir))
 
 
+def q_mask_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the positional dedup (Lee et al. end product): strip every
+    token covered by a cross-document duplicate span; per-doc counts +
+    cleaned-text md5 — narrow indexed-HOF mask, no token-stream
+    explode, spans folded once and joined back left."""
+    return dedup.mask_duplicate_spans(_mutated(spark, sf_dir))
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: rightmost-min of each 4-window of
     char-4-gram poly hashes, selected via an integer (hash, offset)
@@ -852,6 +860,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_simhash128": q_dedup_simhash128,
         "dedup_components": q_dedup_components,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "mask_duplicate_spans": q_mask_duplicate_spans,
         "dedup_keeplist": q_dedup_keeplist,
         "dup_source_matrix": q_dup_source_matrix,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1008,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash128": dedup.duckdb_simhash128_pairs_sql(mutants),
         "dedup_components": dedup.duckdb_components_sql(mutants),
         "dedup_substring_spans": dedup.duckdb_duplicate_spans_sql(mutants),
+        "mask_duplicate_spans": dedup.duckdb_mask_spans_sql(mutants),
         "dedup_keeplist": dedup.duckdb_keeplist_sql(mutants),
         "dup_source_matrix": dedup.duckdb_dup_source_matrix_sql(),
         "winnowing_fingerprints": dedup.duckdb_winnowing_sql(mutants),

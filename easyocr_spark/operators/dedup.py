@@ -1353,3 +1353,84 @@ def duckdb_dup_source_matrix_sql(
     FROM cells
     GROUP BY 1, 2
     """
+
+
+# ------------------------------------------------- span masking end product
+def mask_duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """APPLY the positional substring dedup (the Lee et al. 2022 end
+    product): remove every token covered by a cross-document duplicate
+    span from each document and emit the cleaned text's fingerprint —
+    what a training pipeline actually writes out after
+    ``duplicate_spans`` has located the repeated regions.
+
+    Plan: the span table (tiny — only duplicated regions survive) is
+    folded to one row per affected doc and joined back LEFT onto the
+    token arrays, then the mask is a NARROW array filter (an indexed
+    HOF testing each position against the doc's span list — per-doc
+    work, no explode of the token stream, no extra shuffle beyond
+    duplicate_spans' own linear stages and the one collect_list fold).
+    Output rows stay small at any document size: (doc_id, n_toks,
+    n_kept, clean_md5) with the md5 standing in for the cleaned text
+    (the pii_scan md5-verification pattern); a fully-masked doc yields
+    md5('') identically in both engines."""
+    spans = duplicate_spans(docs, n)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end_excl")).alias("spans")
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    j = toks.join(sp, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "spans",
+            F.array().cast("array<struct<span_start:long,span_end_excl:long>>"),
+        ).alias("spans"),
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end_excl"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )
+
+
+def duckdb_mask_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
+    return f"""
+    WITH spans AS (SELECT * FROM ({duckdb_duplicate_spans_sql(table_sql, n)})),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ),
+    pos AS (
+      SELECT doc_id, toks[CAST(i AS INT)] AS tok, i - 1 AS pos
+      FROM toks, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    masked AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id
+          AND p.pos >= s.span_start AND p.pos < s.span_end_excl
+      )
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      FROM masked GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_toks,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.clean_md5, md5('')) AS clean_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """

@@ -540,3 +540,41 @@ def test_dup_source_matrix_semantics_and_parity(spark):
     pd.testing.assert_frame_equal(
         out.astype({"n_pairs": "int64", "mean_jaccard_milli": "int64"}), d
     )
+
+
+def test_mask_duplicate_spans_end_product(spark):
+    """Tokens inside cross-doc duplicate spans are stripped (12-token
+    shared run >= the 10-token window), untouched docs keep all tokens,
+    and the DuckDB twin reproduces counts AND cleaned-text md5
+    bit-for-bit."""
+    import duckdb
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                common + " tail one two",
+                "head words here " + common,
+                "nothing shared at all in this one document",
+            ],
+        }
+    )
+    out = (
+        dedup.mask_duplicate_spans(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_toks.tolist() == [15, 15, 8]
+    # the shared 12-token run is fully masked in both carriers
+    assert out.n_kept.tolist() == [3, 3, 8]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    d = (
+        con.sql(dedup.duckdb_mask_spans_sql("SELECT * FROM documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, d.astype(out.dtypes.to_dict()))
