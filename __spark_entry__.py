@@ -30,6 +30,7 @@ from easyocr_spark.operators import (
     mixing,
     pii,
     pipeline,
+    profiling,
     retrieval,
     sharding,
     similarity,
@@ -572,6 +573,15 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing.corpus_mix(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile: per-column completeness / exact
+    distinctness / padded-lexicographic range in one stack-unpivot scan
+    + one map-combining shuffle keyed by column name."""
+    return profiling.profile_documents(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-n-gram importance weights (Xie et al. 2023): per-doc
     integer milli-bit log importance ratio of hashed word uni+bigram
@@ -884,6 +894,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pii_scan": q_pii_scan,
         "corpus_mix": q_corpus_mix,
         "dsir_importance": q_dsir_importance,
+        "profile_documents": q_profile_documents,
         "stratified_sample": q_stratified_sample,
         "reservoir_sample": q_reservoir_sample,
         "chunk_overlap": q_chunk_overlap,
@@ -1043,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": pii.duckdb_pii_sql(),
         "corpus_mix": mixing.duckdb_mix_sql(),
         "dsir_importance": mixing.duckdb_dsir_sql(),
+        "profile_documents": profiling.duckdb_profile_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),
         "reservoir_sample": ta.duckdb_reservoir_sample_sql(),
         "chunk_overlap": ta.duckdb_chunk_overlap_sql(),
