@@ -31,6 +31,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         mixing,
         pii,
         pipeline,
+        profiling,
         retrieval,
         sharding,
         similarity,
@@ -127,6 +128,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         ),
         "embedding_outliers (no collect; two bounded shuffles)": (
             clustering.embedding_outliers(emb)
+        ),
+        "dup_source_matrix (joins on the tiny verified-pair table)": (
+            dedup.dup_source_matrix(flat)
+        ),
+        "mask_duplicate_spans (narrow indexed-HOF mask, left join-back)": (
+            dedup.mask_duplicate_spans(dedup.with_mutants(flat))
+        ),
+        "profile_documents (one stack-unpivot scan, one shuffle)": (
+            profiling.profile_documents(flat)
         ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
