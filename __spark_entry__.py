@@ -392,6 +392,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (WHERE the leak is, not just which
+    doc): maximal token spans of training docs covered by 10-token
+    windows that also occur in the eval split — over the
+    contamination-augmented corpus (doc_id % 25 == 7 carries a fixed
+    16-token benchmark block, so eval docs at % 100 == 7 define it and
+    train docs at residues 32/57/82 leak it at known positions; the
+    pii_scan synthetic-positive pattern). One positional gram scan,
+    bounded eval gram set, left-semi join, gaps-and-islands merge."""
+    return dedup.decontaminate_spans(
+        dedup.contamination_augment(
+            tables.read_table(spark, sf_dir, "documents")
+        )
+    )
+
+
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional exact-substring dedup (Lee et al. shape): maximal
     per-document spans covered by 10-token windows that occur verbatim
@@ -877,6 +893,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "inverted_index": q_inverted_index,
         "length_quantiles": q_length_quantiles,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "curation_manifest": q_curation_manifest,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1036,6 +1053,9 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": ta.duckdb_length_quantiles_sql(),
         "decontaminate": dedup.duckdb_decontaminate_sql(
             "SELECT * FROM documents"
+        ),
+        "decontaminate_spans": dedup.duckdb_decontaminate_spans_sql(
+            dedup.duckdb_contamination_augment_sql()
         ),
         "curation_manifest": _curation_oracle_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),

@@ -193,6 +193,12 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("lm_cross_entropy", lambda: ta.lm_cross_entropy(flat_docs))
     timed("sequence_pack", lambda: ta.sequence_pack(flat_docs))
     timed("decontaminate", lambda: dedup.decontaminate(flat_docs))
+    timed(
+        "decontaminate_spans",
+        lambda: dedup.decontaminate_spans(
+            dedup.contamination_augment(flat_docs)
+        ),
+    )
     timed("strip_boilerplate", lambda: pipeline.strip_boilerplate(docs))
     timed("events_sessionize", lambda: events.sessionize(ev))
     timed("events_distinct_hll", lambda: events.distinct_users_hll(ev))

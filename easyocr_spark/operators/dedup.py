@@ -865,8 +865,6 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     bit-for-bit) and collision-safe far past 10^9 windows (birthday
     bound ~1e-9 per 1e5-window corpus; at 10^12+ windows widen to a
     third base the same way SimHash-124 extends SimHash-62)."""
-    from pyspark.sql import Window
-
     pos_grams = _pos_grams(docs, n)
     shared = (
         pos_grams.groupBy("g1", "g2")
@@ -875,6 +873,17 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
         .select("g1", "g2")
     )
     hits = pos_grams.join(shared, ["g1", "g2"]).select("doc_id", "pos")
+    return _windows_to_spans(hits, n)
+
+
+def _windows_to_spans(hits: DataFrame, n: int) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, pos) window hits into maximal
+    per-document spans: windows whose starts are <= n apart overlap or
+    touch, so a lag+cumsum break marker groups them; one window shuffle
+    partitioned by doc_id. Shared by duplicate_spans (cross-document
+    repeats) and decontaminate_spans (eval-split leaks)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = (
         hits.withColumn("prev", F.lag("pos").over(w))
@@ -1063,6 +1072,137 @@ def duckdb_decontaminate_sql(
     SELECT t.doc_id, t.n_grams,
            CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated
     FROM totals t LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    n: int = SUBSTR_N,
+    eval_mod: int = EVAL_MOD,
+    eval_res: int = EVAL_RES,
+) -> DataFrame:
+    """Span-level benchmark decontamination — the LOCALIZATION
+    counterpart to ``decontaminate``: that operator answers WHICH
+    training documents leak eval content (per-doc gram counts, the
+    GPT-3 appendix-C audit); this one answers WHERE, emitting the
+    maximal token spans of every training document covered by n-token
+    windows that also occur in the held-out eval split
+    (``doc_id % eval_mod == eval_res``) — the regions the Llama recipe
+    masks or cuts instead of dropping the whole document. Output:
+    (doc_id, span_start, span_end_excl, n_windows), training docs with
+    at least one leaked window only.
+
+    Plan: ONE positional gram materialization (the shared _pos_grams
+    integer double-poly keys — positions kept, unlike decontaminate's
+    distinct (doc, gram) table, because positions ARE the output),
+    persisted once and consumed by both sides (owned cache, released
+    after the result materializes); the eval gram set is a bounded
+    distinct of the eval slice (benchmarks are MBs where corpora are
+    TBs, so AQE broadcasts it); leak hits are a left-semi equi-join on
+    the 62-bit key — no pair join, linear in total window count — and
+    the span merge is the duplicate_spans gaps-and-islands window,
+    one shuffle partitioned by doc_id. Same owned-persist contract as
+    decontaminate: the returned DataFrame is eagerly persisted and the
+    CALLER owns unpersisting it."""
+    from pyspark import StorageLevel
+
+    grams = _pos_grams(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    is_eval = (F.col("doc_id") % eval_mod) == eval_res
+    ev = grams.filter(is_eval).select("g1", "g2").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(ev, ["g1", "g2"], "left_semi")
+        .select("doc_id", "pos")
+    )
+    out = _windows_to_spans(hits, n).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    grams.unpersist()
+    return out
+
+
+# Deterministic contamination augmentation (the pii_scan pattern): the
+# word-soup test corpus has almost no NATURAL >=10-token runs shared
+# between the eval split and training docs (measured: zero at sf0.001),
+# so the decontaminate_spans QUERY plants a fixed 16-token benchmark
+# block on every doc with doc_id % CONTAM_MOD == EVAL_RES. Since
+# CONTAM_MOD divides EVAL_MOD, the eval docs (doc_id % 100 == 7) all
+# carry the block and the train docs at residues 32/57/82 mod 100 leak
+# it — known positive class with known span positions (the trailing 16
+# tokens), everything else a clean negative control. Both engines apply
+# the identical augmentation; the operator itself is corpus-agnostic.
+CONTAM_MOD = 25
+CONTAM_BLOCK = " ".join(f"benchq{i}" for i in range(16))
+
+
+def contamination_augment(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % CONTAM_MOD == EVAL_RES,
+            F.concat(F.col("text"), F.lit(" " + CONTAM_BLOCK)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def duckdb_contamination_augment_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % {CONTAM_MOD} = {EVAL_RES}
+                THEN text || ' {CONTAM_BLOCK}' ELSE text END AS text
+    FROM {table}
+    """
+
+
+def duckdb_decontaminate_spans_sql(
+    table_sql: str,
+    n: int = SUBSTR_N,
+    eval_mod: int = EVAL_MOD,
+    eval_res: int = EVAL_RES,
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ),
+    hs AS (
+      SELECT doc_id,
+             {_duck_tok_fold(HASH_BASE_1)} AS h1,
+             {_duck_tok_fold(HASH_BASE_2)} AS h2
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             {_duck_win_fold('h1', HASH_BASE_3, n)} AS g1,
+             {_duck_win_fold('h2', HASH_BASE_4, n)} AS g2
+      FROM hs, UNNEST(range(0, greatest(len(h1) - {n} + 1, 0))) AS t(i)
+    ),
+    ev AS (
+      SELECT DISTINCT g1, g2 FROM grams
+      WHERE doc_id % {eval_mod} = {eval_res}
+    ),
+    hits AS (
+      SELECT doc_id, pos
+      FROM (SELECT * FROM grams WHERE doc_id % {eval_mod} != {eval_res}) tr
+      SEMI JOIN ev USING (g1, g2)
+    ),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {n}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brks
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {n} AS span_end_excl,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
     """
 
 

@@ -84,6 +84,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "decontaminate (shared gram keys, left-semi vs eval set)": (
             dedup.decontaminate(flat)
         ),
+        "decontaminate_spans (positional grams, semi-join + islands)": (
+            dedup.decontaminate_spans(dedup.contamination_augment(flat))
+        ),
         "strip_boilerplate (AQE-sized exclusion anti-join)": (
             pipeline.strip_boilerplate(docs)
         ),

@@ -404,6 +404,30 @@ def test_dedup_keeplist_decisions(spark):
     assert bool(out.loc[11, "keep"]) and out.loc[11, "component_id"] == -1
 
 
+def test_decontaminate_spans_localizes_leak(spark):
+    """The train doc sharing a 12-token run with an eval doc gets ONE
+    maximal span at exactly the shared tokens' positions (windows at
+    5/6/7 -> span [5, 17)); the eval doc itself and clean train docs
+    emit nothing."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    pdf = pd.DataFrame({
+        "doc_id": [7, 3, 11],
+        "text": [
+            shared + " " + " ".join(f"e{i}" for i in range(8)),   # eval
+            " ".join(f"x{i}" for i in range(5)) + " " + shared,   # leaks
+            " ".join(f"u{i}" for i in range(15)),                 # clean
+        ],
+    })
+    res = dedup.decontaminate_spans(spark.createDataFrame(pdf), n=10)
+    out = res.toPandas()
+    res.unpersist()  # caller-owned cache (the decontaminate contract)
+    assert list(out["doc_id"]) == [3]
+    row = out.iloc[0]
+    assert (row["span_start"], row["span_end_excl"], row["n_windows"]) == (
+        5, 17, 3,
+    )
+
+
 def test_decontaminate_counts_eval_gram_hits(spark):
     """A train doc sharing a 12-token run with an eval doc (id%100==7)
     is flagged with exactly the 3 fully-contained 10-token windows;
