@@ -392,6 +392,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-dup graph (mutant-
+    augmented corpus): 5 fixed iterations of integer micro-rank
+    updates — one src-keyed shuffle + one map-combining dst agg per
+    iteration, edge list from the linear MinHash+LSH path. The
+    max-rank member per component is the centrality-based canonical
+    (vs dedup_keeplist's min-id)."""
+    return dedup.neardup_pagerank(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level decontamination (WHERE the leak is, not just which
     doc): maximal token spans of training docs covered by 10-token
@@ -894,6 +906,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "length_quantiles": q_length_quantiles,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
+        "neardup_pagerank": q_neardup_pagerank,
         "curation_manifest": q_curation_manifest,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1057,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_spans": dedup.duckdb_decontaminate_spans_sql(
             dedup.duckdb_contamination_augment_sql()
         ),
+        "neardup_pagerank": dedup.duckdb_neardup_pagerank_sql(),
         "curation_manifest": _curation_oracle_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),

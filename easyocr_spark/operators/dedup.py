@@ -1574,3 +1574,134 @@ def duckdb_mask_spans_sql(table_sql: str, n: int = SUBSTR_N) -> str:
            coalesce(a.clean_md5, md5('')) AS clean_md5
     FROM toks t LEFT JOIN agg a USING (doc_id)
     """
+
+
+# ------------------------------------------------------------- PageRank
+PR_ITERS = 5
+PR_UNIT_MICRO = 1_000_000  # rank unit: 1.0 == 1e6 (integer-exact)
+PR_DAMP_MILLI = 850        # damping 0.85 as an integer rational
+
+
+def _pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Damped PageRank over a DIRECTED edge list (src, dst) where every
+    node has out-degree >= 1 (no dangling-mass redistribution needed —
+    the near-dup graph is undirected so both directions are present).
+    All-integer arithmetic: ranks in micro units, contributions are
+    ``r div deg`` and the update is ``150000 + (850 * sum) div 1000``
+    — both operands positive everywhere, so Spark's truncating ``div``
+    and DuckDB's floor ``//`` agree bit-for-bit.
+
+    The per-iteration plan is the textbook distributed PageRank shape:
+    join ranks onto edges by src (one shuffle keyed src — at web scale
+    pre-partitioning edges AND ranks by src makes it co-located), then
+    one map-side-combining groupBy dst. The degree table joins
+    AQE-sized (node-count rows).
+
+    Lineage discipline: every iteration's table is eagerly
+    ``localCheckpoint``ed, NOT merely persisted. A persist caches data
+    but keeps the full LOGICAL plan, so iteration k's plan embeds the
+    (large) upstream MinHash lineage ~3^k times and Catalyst analysis
+    time explodes — measured ~6s/iteration and super-linear growth on
+    a 181-node graph before truncation, sub-second after. This is the
+    classic iterative-DataFrame trap; localCheckpoint replaces the
+    plan with the materialized partitions (LogicalRDD). On a real
+    cluster, reliable ``checkpoint()`` to the cluster store is the
+    fault-tolerant variant (localCheckpoint dies with an executor);
+    same plan shape either way."""
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint(eager=True)
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_UNIT_MICRO).cast("long").alias("r"),
+    ).localCheckpoint(eager=True)
+    base = (1000 - PR_DAMP_MILLI) * PR_UNIT_MICRO // 1000  # 150000
+    for _ in range(iters):
+        ranks = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({PR_DAMP_MILLI} * s) div 1000")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def neardup_pagerank(
+    docs: DataFrame,
+    iters: int = PR_ITERS,
+    threshold_milli: int = JACCARD_MILLI,
+) -> DataFrame:
+    """PageRank CENTRALITY over the verified near-dup graph (mutant-
+    augmented corpus, the shared dedup fixture): the iterative
+    link-analysis mechanic a web-corpus pipeline runs to weight
+    syndication hubs — a doc near-duplicated by many low-degree copies
+    accumulates rank, so picking the max-rank member per component
+    chooses the "most central" representative (the centrality
+    alternative to dedup_keeplist's min-id canonical). Output:
+    (doc_id, rank_micro) for every document that appears in at least
+    one verified near-dup pair; 5 fixed iterations, integer micro
+    ranks (deterministic, engine-exact — see _pagerank).
+
+    Scale: the edge list comes from the linear minhash_lsh_pairs path
+    (banded candidates + exact verify, tiny relative to the corpus);
+    each iteration is one src-keyed shuffle + one map-combining dst
+    aggregation — the standard Pregel-free DataFrame PageRank that
+    holds at billions of edges."""
+    pairs = minhash_lsh_pairs(with_mutants(docs), threshold_milli)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    out = _pagerank(edges, iters)
+    # _pagerank's result is localCheckpointed (self-contained — no
+    # lineage back to the pair table), so the minhash pair cache can
+    # be released here; the rename is a narrow projection over the
+    # checkpointed partitions.
+    pairs.unpersist()
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("r").alias("rank_micro")
+    )
+
+
+def duckdb_neardup_pagerank_sql(
+    table: str = "documents",
+    iters: int = PR_ITERS,
+    threshold_milli: int = JACCARD_MILLI,
+) -> str:
+    """Unrolled fixed-iteration CTE chain (the kmeans oracle pattern)
+    over the shared exhaustive-jaccard pair oracle."""
+    base = (1000 - PR_DAMP_MILLI) * PR_UNIT_MICRO // 1000
+    steps = ",\n".join(
+        f"""r{i} AS (
+      SELECT e.dst AS node,
+             {base} + ({PR_DAMP_MILLI} * sum(r.r // d.deg)) // 1000 AS r
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH pairs AS ({duckdb_jaccard_sql(duckdb_with_mutants_sql(table), threshold_milli)}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST({PR_UNIT_MICRO} AS BIGINT) AS r FROM deg),
+    {steps}
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r{iters}
+    """

@@ -87,6 +87,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "decontaminate_spans (positional grams, semi-join + islands)": (
             dedup.decontaminate_spans(dedup.contamination_augment(flat))
         ),
+        "neardup_pagerank (iterative join-agg, checkpointed lineage)": (
+            dedup.neardup_pagerank(flat)
+        ),
         "strip_boilerplate (AQE-sized exclusion anti-join)": (
             pipeline.strip_boilerplate(docs)
         ),

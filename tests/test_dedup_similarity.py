@@ -404,6 +404,20 @@ def test_dedup_keeplist_decisions(spark):
     assert bool(out.loc[11, "keep"]) and out.loc[11, "component_id"] == -1
 
 
+def test_pagerank_path_graph_exact(spark):
+    """Hand-computed 5-iteration damped integer PageRank on the path
+    graph 1-2-3: the middle node accumulates rank; endpoints stay
+    symmetric. Values verified by hand per iteration (micro units,
+    150000 + (850 * sum(r div deg)) div 1000)."""
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 2, 3], "dst": [2, 1, 3, 2]})
+    )
+    out = (
+        dedup._pagerank(edges).toPandas().set_index("node")["r"].to_dict()
+    )
+    assert out == {1: 668336, 2: 1663323, 3: 668336}
+
+
 def test_decontaminate_spans_localizes_leak(spark):
     """The train doc sharing a 12-token run with an eval doc gets ONE
     maximal span at exactly the shared tokens' positions (windows at
