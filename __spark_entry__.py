@@ -518,6 +518,20 @@ def q_train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit over the pipeline's OWN train/val/test
+    boundary (decontaminate audits an external benchmark): per held-out
+    split, distinct 10-grams also present in train — over the
+    contamination-augmented corpus so planted blocks genuinely span
+    splits. One distinct gram table, split column is a shuffle-free
+    LCG projection, left-semi on the gram key, two-row output."""
+    return sharding.shard_leakage(
+        dedup.contamination_augment(
+            tables.read_table(spark, sf_dir, "documents")
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.stratified_sample(tables.read_table(spark, sf_dir, "documents"))
 
@@ -919,6 +933,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bpe_segment": q_bpe_segment,
         "bpe_encode": q_bpe_encode,
         "train_split_shards": q_train_split_shards,
+        "shard_leakage": q_shard_leakage,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "bloom_membership": q_bloom_membership,
         "pii_scan": q_pii_scan,
@@ -1083,6 +1098,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": bpe.duckdb_bpe_segment_sql(),
         "bpe_encode": bpe.duckdb_bpe_encode_sql(),
         "train_split_shards": sharding.duckdb_split_shards_sql(),
+        "shard_leakage": sharding.duckdb_shard_leakage_sql(
+            dedup.duckdb_contamination_augment_sql()
+        ),
         "countmin_heavy_hitters": sketches.duckdb_countmin_sql(),
         "bloom_membership": sketches.duckdb_bloom_sql(),
         "pii_scan": pii.duckdb_pii_sql(),

@@ -80,6 +80,7 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         mixing,
         pii,
         pipeline,
+        sharding,
         similarity,
         sketches,
     )
@@ -200,6 +201,12 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         ),
     )
     timed("neardup_pagerank", lambda: dedup.neardup_pagerank(flat_docs))
+    timed(
+        "shard_leakage",
+        lambda: sharding.shard_leakage(
+            dedup.contamination_augment(flat_docs)
+        ),
+    )
     timed("strip_boilerplate", lambda: pipeline.strip_boilerplate(docs))
     timed("events_sessionize", lambda: events.sessionize(ev))
     timed("events_distinct_hll", lambda: events.distinct_users_hll(ev))

@@ -84,3 +84,147 @@ def duckdb_split_shards_sql(table: str = "documents", shards: int = SHARDS) -> s
                               ORDER BY ek, doc_id)::BIGINT AS epoch_pos
     FROM staged
     """
+
+
+def shard_leakage(docs: DataFrame, n: int | None = None) -> DataFrame:
+    """Cross-split LEAKAGE AUDIT over the train/val/test assignment:
+    for each held-out split, how many of its distinct n-token grams
+    also occur anywhere in the train split — the hygiene check a
+    training pipeline runs on its own sharding output before an eval
+    number is trusted (decontaminate audits against an external
+    benchmark; this audits the pipeline's OWN split boundary, which
+    near-duplicates silently breach). Output is bounded at two rows:
+    (split, n_docs, n_grams, n_leaked, leak_milli) for val and test,
+    leak_milli an exact integer rate (both engines' integer division
+    agrees on positives).
+
+    Plan: the split column is a shuffle-free LCG projection
+    (train_split_shards' key), joined onto ONE distinct (doc, gram)
+    materialization (the decontaminate gram shape, persisted once —
+    owned cache, released after the bounded result materializes); the
+    leak test is a left-semi equi-join on the 62-bit gram key
+    shuffled by gram, never a document pair join; the final
+    aggregations are map-side-combining counts keyed by the 2-value
+    split column. Linear in total gram count at any corpus size."""
+    from pyspark import StorageLevel
+
+    from easyocr_spark.operators.dedup import SUBSTR_N, _pos_grams
+
+    n = SUBSTR_N if n is None else n
+    splits = train_split_shards(docs).select("doc_id", "split")
+    g = (
+        _pos_grams(docs, n)
+        .select("doc_id", "g1", "g2")
+        .distinct()
+        .join(splits, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    train_g = g.filter(F.col("split") == "train").select("g1", "g2").distinct()
+    eval_g = (
+        g.filter(F.col("split") != "train")
+        .select("split", "g1", "g2")
+        .distinct()
+    )
+    leaked = (
+        eval_g.join(train_g, ["g1", "g2"], "left_semi")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    totals = eval_g.groupBy("split").agg(F.count("*").alias("n_grams"))
+    ndocs = (
+        splits.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    out = (
+        ndocs.join(totals, "split", "left")
+        .join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("(1000 * n_leaked) div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("leak_milli"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    g.unpersist()
+    return out
+
+
+def duckdb_shard_leakage_sql(table_sql: str, n: int | None = None) -> str:
+    from easyocr_spark.operators.dedup import (
+        HASH_BASE_1,
+        HASH_BASE_2,
+        HASH_BASE_3,
+        HASH_BASE_4,
+        SUBSTR_N,
+        _duck_tok_fold,
+        _duck_win_fold,
+    )
+
+    n = SUBSTR_N if n is None else n
+    lcg1 = f"((doc_id * {S_MULT_1} + {S_INC_1}) % {SAMPLE_MOD})"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ),
+    hs AS (
+      SELECT doc_id,
+             {_duck_tok_fold(HASH_BASE_1)} AS h1,
+             {_duck_tok_fold(HASH_BASE_2)} AS h2
+      FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             {_duck_win_fold('h1', HASH_BASE_3, n)} AS g1,
+             {_duck_win_fold('h2', HASH_BASE_4, n)} AS g2
+      FROM hs, UNNEST(range(0, greatest(len(h1) - {n} + 1, 0))) AS t(i)
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN {lcg1} % 100 < {TRAIN_PCT} THEN 'train'
+                  WHEN {lcg1} % 100 < {VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ({table_sql})
+    ),
+    g AS (
+      SELECT s.split, gr.g1, gr.g2, gr.doc_id
+      FROM grams gr JOIN splits s USING (doc_id)
+    ),
+    train_g AS (SELECT DISTINCT g1, g2 FROM g WHERE split = 'train'),
+    eval_g AS (
+      SELECT DISTINCT split, g1, g2 FROM g WHERE split != 'train'
+    ),
+    leaked AS (
+      SELECT split, count(*) AS n_leaked
+      FROM eval_g SEMI JOIN train_g USING (g1, g2)
+      GROUP BY 1
+    ),
+    totals AS (SELECT split, count(*) AS n_grams FROM eval_g GROUP BY 1),
+    nd AS (
+      SELECT split, count(*) AS n_docs FROM splits
+      WHERE split != 'train' GROUP BY 1
+    )
+    SELECT nd.split,
+           CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CAST(CASE WHEN coalesce(t.n_grams, 0) > 0
+                     THEN (1000 * coalesce(l.n_leaked, 0)) // t.n_grams
+                     ELSE 0 END AS BIGINT) AS leak_milli
+    FROM nd
+    LEFT JOIN totals t USING (split)
+    LEFT JOIN leaked l USING (split)
+    """

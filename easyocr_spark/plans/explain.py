@@ -90,6 +90,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "neardup_pagerank (iterative join-agg, checkpointed lineage)": (
             dedup.neardup_pagerank(flat)
         ),
+        "shard_leakage (split-boundary gram audit, two-row output)": (
+            sharding.shard_leakage(dedup.contamination_augment(flat))
+        ),
         "strip_boilerplate (AQE-sized exclusion anti-join)": (
             pipeline.strip_boilerplate(docs)
         ),

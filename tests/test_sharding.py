@@ -48,3 +48,24 @@ def test_split_shards_engine_parity(spark):
     pd.testing.assert_frame_equal(
         s.astype({"shard": "int64", "epoch_pos": "int64"}), d
     )
+
+
+def test_shard_leakage_counts_cross_split_grams(spark):
+    """A val doc (doc_id 8 under the LCG split rule) sharing a 12-token
+    run with a train doc (doc_id 0) reports exactly the 3 contained
+    10-gram windows leaked out of its 8 total (375 milli); a clean
+    test doc (doc_id 7) reports zero."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 8, 7],
+        "text": [
+            shared + " " + " ".join(f"t{i}" for i in range(8)),   # train
+            " ".join(f"v{i}" for i in range(5)) + " " + shared,   # val
+            " ".join(f"u{i}" for i in range(15)),                 # test
+        ],
+    })
+    res = sharding.shard_leakage(spark.createDataFrame(pdf), n=10)
+    out = res.toPandas().set_index("split")
+    res.unpersist()
+    assert out.loc["val"].tolist() == [1, 8, 3, 375]
+    assert out.loc["test"].tolist() == [1, 6, 0, 0]
