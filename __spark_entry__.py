@@ -404,6 +404,15 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup (the monthly-crawl staple): every NEW
+    doc (planted near/exact copies + reversed-text novels) against the
+    accumulated OLD corpus only — cross-side MinHash band join, exact
+    verify on candidates, per-new-doc best match; never old x old."""
+    base = tables.read_table(spark, sf_dir, "documents")
+    return dedup.snapshot_dedup(base, dedup.snapshot_new(base))
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level decontamination (WHERE the leak is, not just which
     doc): maximal token spans of training docs covered by 10-token
@@ -921,6 +930,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "neardup_pagerank": q_neardup_pagerank,
+        "snapshot_dedup": q_snapshot_dedup,
         "curation_manifest": q_curation_manifest,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1086,6 +1096,10 @@ def oracle_sql() -> dict[str, str]:
             dedup.duckdb_contamination_augment_sql()
         ),
         "neardup_pagerank": dedup.duckdb_neardup_pagerank_sql(),
+        "snapshot_dedup": dedup.duckdb_snapshot_dedup_sql(
+            "SELECT doc_id, text FROM documents",
+            dedup.duckdb_snapshot_new_sql(),
+        ),
         "curation_manifest": _curation_oracle_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),

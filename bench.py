@@ -207,6 +207,12 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
             dedup.contamination_augment(flat_docs)
         ),
     )
+    timed(
+        "snapshot_dedup",
+        lambda: dedup.snapshot_dedup(
+            flat_docs, dedup.snapshot_new(flat_docs)
+        ),
+    )
     timed("strip_boilerplate", lambda: pipeline.strip_boilerplate(docs))
     timed("events_sessionize", lambda: events.sessionize(ev))
     timed("events_distinct_hll", lambda: events.distinct_users_hll(ev))

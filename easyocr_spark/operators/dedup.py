@@ -226,6 +226,42 @@ def duckdb_jaccard_sql(table_sql: str, threshold_milli: int = JACCARD_MILLI) -> 
 
 
 # ------------------------------------------------------------ MinHash+LSH
+def _minh_signatures(shingles: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """One MinHash signature row per doc: n_perm min-aggregated
+    xxhash64 permutations over the shingle set (shared by the
+    self-join dedup path and the cross-snapshot path)."""
+    return shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(p))).alias(f"h{p}")
+            for p in range(n_perm)
+        ]
+    )
+
+
+def _band_explode(
+    minh: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band_id, band_key): each signature folded into n_bands
+    keys of n_perm/n_bands rows each — equal band keys are the LSH
+    candidate signal."""
+    rows_per_band = n_perm // n_bands
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return minh.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold_milli: int = JACCARD_MILLI,
@@ -259,25 +295,10 @@ def minhash_lsh_pairs(
     # self-join; persist it (n_docs x 128 longs — ~1 KB/doc) so the
     # most CPU-intensive stage runs once, same ownership discipline as
     # the shingle cache below
-    minh = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(p))).alias(f"h{p}")
-            for p in range(n_perm)
-        ]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rows_per_band = n_perm // n_bands
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for b in range(n_bands)
-        ]
+    minh = _minh_signatures(shingles, n_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    banded = minh.select(
-        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
-    )
+    banded = _band_explode(minh, n_perm, n_bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_key"])
@@ -1704,4 +1725,196 @@ def duckdb_neardup_pagerank_sql(
     r0 AS (SELECT src AS node, CAST({PR_UNIT_MICRO} AS BIGINT) AS r FROM deg),
     {steps}
     SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r{iters}
+    """
+
+
+# ----------------------------------------------------- snapshot dedup
+SNAPSHOT_OFFSET = 3_000_000  # novel-doc ids in the synthetic new crawl
+
+
+def snapshot_new(docs: DataFrame) -> DataFrame:
+    """The synthetic NEW CRAWL for incremental snapshot dedup: mutant
+    near-copies (doc_id % 10 == 3, the shared fixture suffix) and
+    verbatim copies (doc_id % 25 == 7) that the dedup must DROP, plus
+    genuinely novel docs (doc_id % 9 == 4 with token order reversed —
+    3-gram shingles are order-sensitive, so the reversed text shares
+    ~no shingles with its source) that it must KEEP."""
+    mutants = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(MUTANT_SUFFIX)).alias("text"),
+    )
+    exacts = docs.filter(F.col("doc_id") % 25 == 7).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    novel = docs.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + SNAPSHOT_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), r"\s+")), " ").alias(
+            "text"
+        ),
+    )
+    return mutants.unionByName(exacts).unionByName(novel)
+
+
+def duckdb_snapshot_new_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id + {MUTANT_OFFSET} AS doc_id,
+           text || '{MUTANT_SUFFIX}' AS text
+    FROM {table} WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT doc_id + {EXACT_OFFSET} AS doc_id, text
+    FROM {table} WHERE doc_id % 25 = 7
+    UNION ALL
+    SELECT doc_id + {SNAPSHOT_OFFSET} AS doc_id,
+           array_to_string(
+             list_reverse(regexp_split_to_array(text, '\\s+')), ' ') AS text
+    FROM {table} WHERE doc_id % 9 = 4
+    """
+
+
+def snapshot_dedup(
+    old: DataFrame,
+    new: DataFrame,
+    threshold_milli: int = JACCARD_MILLI,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """INCREMENTAL snapshot dedup — the monthly-crawl staple: dedup
+    every NEW document against the accumulated OLD corpus (never old
+    against itself — that corpus was already deduped when it was
+    ingested). Output: one row per new doc,
+    (doc_id, keep, best_old_id, best_jaccard_milli) with keep = no old
+    doc at J >= threshold, best match chosen by (max jaccard, min
+    old_id) — deterministic in both engines.
+
+    Plan: the CROSS-side variant of minhash_lsh_pairs — each side
+    builds its own MinHash band table (shared _minh_signatures /
+    _band_explode helpers), candidates come from the band equi-join
+    NEW x OLD (never old x old: at web scale the accumulated corpus
+    dwarfs a single crawl, and self-pairs would dominate the work for
+    zero value), exact Jaccard verification runs only on candidates
+    through the two shingle joins, and the best-match pick is a
+    per-new-doc window over the tiny verified-pair table. The two
+    shingle tables are persisted (each feeds signatures + verify) and
+    released after the bounded result materializes — the owned-cache
+    contract. At the fixture threshold the banded recall argument is
+    the same one minhash_lsh_pairs documents (planted copies sit at
+    J ~ 0.97-1.0; miss probability ~0)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh_old = shingle_sets(old).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_new = shingle_sets(new).persist(StorageLevel.MEMORY_AND_DISK)
+    banded_old = _band_explode(
+        _minh_signatures(sh_old, n_perm), n_perm, n_bands
+    ).select(F.col("doc_id").alias("old_id"), "band_id", "band_key")
+    banded_new = _band_explode(
+        _minh_signatures(sh_new, n_perm), n_perm, n_bands
+    ).select(F.col("doc_id").alias("new_id"), "band_id", "band_key")
+    cand = (
+        banded_new.join(banded_old, ["band_id", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    common = (
+        cand.join(
+            sh_new.select(F.col("doc_id").alias("new_id"), "shingle"),
+            "new_id",
+        )
+        .join(
+            sh_old.select(F.col("doc_id").alias("old_id"), "shingle"),
+            ["old_id", "shingle"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("common"))
+    )
+    sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("sz_new"))
+    sz_old = sh_old.groupBy("doc_id").agg(F.count("*").alias("sz_old"))
+    pairs = (
+        common.join(sz_new.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(sz_old.withColumnRenamed("doc_id", "old_id"), "old_id")
+        .filter(
+            F.col("common") * 1000
+            >= F.lit(threshold_milli)
+            * (F.col("sz_new") + F.col("sz_old") - F.col("common"))
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.floor(
+                F.col("common")
+                * 1000
+                / (F.col("sz_new") + F.col("sz_old") - F.col("common"))
+            ).cast("long").alias("jaccard_milli"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard_milli"), F.asc("old_id")
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"), "old_id", "jaccard_milli"
+        )
+    )
+    out = (
+        new.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("old_id").isNull().alias("keep"),
+            F.coalesce("old_id", F.lit(-1)).cast("long").alias("best_old_id"),
+            F.coalesce("jaccard_milli", F.lit(0)).cast("long").alias(
+                "best_jaccard_milli"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    sh_old.unpersist()
+    sh_new.unpersist()
+    return out
+
+
+def duckdb_snapshot_dedup_sql(
+    old_sql: str,
+    new_sql: str,
+    threshold_milli: int = JACCARD_MILLI,
+) -> str:
+    """Exhaustive cross-corpus twin (quadratic per shared shingle —
+    oracle only; the scale path is the banded operator)."""
+    sh_old = DUCKDB_SHINGLES.format(table_sql=old_sql, n=SHINGLE_N)
+    sh_new = DUCKDB_SHINGLES.format(table_sql=new_sql, n=SHINGLE_N)
+    return f"""
+    WITH sh_o AS ({sh_old}),
+    sh_n AS ({sh_new}),
+    sz_o AS (SELECT doc_id, count(*) AS sz FROM sh_o GROUP BY 1),
+    sz_n AS (SELECT doc_id, count(*) AS sz FROM sh_n GROUP BY 1),
+    common AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS common
+      FROM sh_n n JOIN sh_o o USING (shingle)
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT new_id, old_id,
+             CAST(floor(common * 1000 / (n.sz + o.sz - common)) AS BIGINT)
+               AS jaccard_milli
+      FROM common
+      JOIN sz_n n ON n.doc_id = new_id
+      JOIN sz_o o ON o.doc_id = old_id
+      WHERE common * 1000 >= {threshold_milli} * (n.sz + o.sz - common)
+    ),
+    best AS (
+      SELECT new_id, old_id, jaccard_milli,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jaccard_milli DESC, old_id) AS rn
+      FROM pairs
+    )
+    SELECT nd.doc_id,
+           b.old_id IS NULL AS keep,
+           CAST(coalesce(b.old_id, -1) AS BIGINT) AS best_old_id,
+           CAST(coalesce(b.jaccard_milli, 0) AS BIGINT)
+             AS best_jaccard_milli
+    FROM ({new_sql}) nd
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = nd.doc_id
     """

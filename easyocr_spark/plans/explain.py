@@ -93,6 +93,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "shard_leakage (split-boundary gram audit, two-row output)": (
             sharding.shard_leakage(dedup.contamination_augment(flat))
         ),
+        "snapshot_dedup (cross-side band join — never old x old)": (
+            dedup.snapshot_dedup(flat, dedup.snapshot_new(flat))
+        ),
         "strip_boilerplate (AQE-sized exclusion anti-join)": (
             pipeline.strip_boilerplate(docs)
         ),

@@ -616,3 +616,28 @@ def test_mask_duplicate_spans_end_product(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, d.astype(out.dtypes.to_dict()))
+
+
+def test_snapshot_dedup_keeps_novel_drops_copies(spark):
+    """New-crawl docs: a verbatim copy (J=1000) and a 2-token-suffixed
+    near-copy (10 common / 12 union = 833 milli >= 800) are dropped
+    with the right best match; a disjoint novel doc is kept."""
+    old = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [" ".join(f"w{i}" for i in range(12))]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [100, 101, 102],
+            "text": [
+                " ".join(f"w{i}" for i in range(12)) + " x y",
+                " ".join(f"z{i}" for i in range(12)),
+                " ".join(f"w{i}" for i in range(12)),
+            ],
+        })
+    )
+    res = dedup.snapshot_dedup(old, new)
+    out = res.toPandas().set_index("doc_id")
+    res.unpersist()
+    assert out.loc[100].tolist() == [False, 1, 833]
+    assert out.loc[101].tolist() == [True, -1, 0]
+    assert out.loc[102].tolist() == [False, 1, 1000]
