@@ -586,6 +586,14 @@ def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonl.jsonl_roundtrip(spark, sf_dir)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval for a fixed benchmark query set (Lucene
+    +1 idf frozen driver-side in milli-bits, tf-saturation cleared to
+    exact decimal(38,0) integers): the ranked-lookup end product of
+    the inverted-index family — only query-term postings ever shuffle."""
+    return retrieval.bm25_topk(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 salient terms by integer tf/df relevance (the
     reciprocal-idf member of the tf-idf family — pure int64 so both
@@ -939,6 +947,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "bpe_encode": q_bpe_encode,
@@ -1108,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),
         "tfidf_top_terms": ta.duckdb_tfidf_sql(),
+        "bm25_topk": retrieval.duckdb_bm25_sql(),
         "bpe_merges": bpe.duckdb_bpe_merges_sql(),
         "bpe_segment": bpe.duckdb_bpe_segment_sql(),
         "bpe_encode": bpe.duckdb_bpe_encode_sql(),
