@@ -483,6 +483,13 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.lm_cross_entropy(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity stratification per language:
+    nearest-rank p33/p66 thresholds over the integer LM score,
+    value-based bucket assignment — 2-row-per-lang broadcast join."""
+    return ta.ccnet_buckets(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_stats(tables.read_table(spark, sf_dir, "documents"))
 
@@ -943,6 +950,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "lm_cross_entropy": q_lm_cross_entropy,
+        "ccnet_buckets": q_ccnet_buckets,
         "token_stats": q_token_stats,
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
@@ -1113,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),
+        "ccnet_buckets": ta.duckdb_ccnet_buckets_sql(),
         "token_stats": ta.duckdb_token_stats_sql(),
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),

@@ -836,6 +836,99 @@ def duckdb_lm_cross_entropy_sql(table_sql: str = "SELECT * FROM documents") -> s
     """.replace("{table_sql}", table_sql)
 
 
+# --------------------------------------------- CCNet perplexity buckets
+CCNET_PCTS = (33, 66)  # head <= p33 < middle <= p66 < tail
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    document lands in head / middle / tail by where its LM score sits
+    in its OWN LANGUAGE's distribution — the standard quality
+    stratification a web pipeline applies before mixing (train mostly
+    on head+middle, sample tail).
+
+    Perplexity signal = avg_milli_bits from lm_cross_entropy (integer
+    milli-bits, engine-exact). Thresholds are per-lang NEAREST-RANK
+    values at p33/p66 — the length_quantiles rule, rank =
+    (p·n + 99) div 100 with (value, doc_id) ordering — and bucket
+    assignment is BY VALUE (avg <= t33 → head, <= t66 → middle, else
+    tail), so ties straddling a boundary land together in both engines.
+
+    Plan: the LM score's one tf shuffle + broadcast scoring join, a
+    lang join back (AQE-broadcastable: the scored table is one row per
+    doc), one row_number window per lang partition for the two
+    threshold rows, and a broadcast threshold join — the threshold
+    table is 2 rows per language. Output:
+    (doc_id, lang, avg_milli_bits, bucket)."""
+    from pyspark.sql import Window
+
+    lm = lm_cross_entropy(docs).select("doc_id", "avg_milli_bits")
+    scored = lm.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_milli_bits", "doc_id")
+    ranked = scored.select(
+        "lang",
+        "avg_milli_bits",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    p33, p66 = CCNET_PCTS
+    thr = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({p33} * n + 99) div 100"),
+                F.col("avg_milli_bits"),
+            )
+        ).alias("t33"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({p66} * n + 99) div 100"),
+                F.col("avg_milli_bits"),
+            )
+        ).alias("t66"),
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_milli_bits",
+        F.when(F.col("avg_milli_bits") <= F.col("t33"), F.lit("head"))
+        .when(F.col("avg_milli_bits") <= F.col("t66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def duckdb_ccnet_buckets_sql(table: str = "documents") -> str:
+    p33, p66 = CCNET_PCTS
+    lm = duckdb_lm_cross_entropy_sql(f"SELECT * FROM {table}")
+    return f"""
+    WITH lm AS ({lm}),
+    scored AS (
+      SELECT d.doc_id, d.lang, lm.avg_milli_bits
+      FROM lm JOIN {table} d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT lang, avg_milli_bits,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY avg_milli_bits, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    ),
+    thr AS (
+      SELECT lang,
+             max(CASE WHEN rn = ({p33} * n + 99) // 100
+                      THEN avg_milli_bits END) AS t33,
+             max(CASE WHEN rn = ({p66} * n + 99) // 100
+                      THEN avg_milli_bits END) AS t66
+      FROM ranked GROUP BY lang
+    )
+    SELECT doc_id, lang, avg_milli_bits,
+           CASE WHEN avg_milli_bits <= t33 THEN 'head'
+                WHEN avg_milli_bits <= t66 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored JOIN thr USING (lang)
+    """
+
+
 # ------------------------------------------------- exact length quantiles
 QUANTILE_PCTS = [25, 50, 75, 90, 99]
 

@@ -300,3 +300,40 @@ def test_tfidf_top_terms_ranking(spark):
     d1 = out[out.doc_id == 1].sort_values("rank")
     assert d1.term.tolist()[0] == "banana"  # df=1 beats common's df=3
     assert (out.groupby("doc_id").size() <= 2).all()
+
+
+# ------------------------------------------------- CCNet perplexity buckets
+def test_ccnet_buckets_value_ties_and_parity(spark):
+    """Identical docs (identical LM scores) straddling the p33 rank
+    boundary must land in the SAME bucket (assignment is by value, not
+    rank), and the full output must match the DuckDB twin."""
+    import duckdb
+
+    # 6 'en' docs: 4 copies of one text (one shared score) + 2 distinct.
+    # rank33 = (33*6+99)//100 = 2 -> t33 is a tied value held by 4 docs:
+    # value-based bucketing puts all 4 in head even though 4 > 2.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 10, 11, 12],
+            "text": ["aa bb aa bb"] * 4
+            + ["zz qq xx yy", "aa zz qq ww"]
+            + ["mm nn", "mm mm", "nn oo pp"],
+            "lang": ["en"] * 6 + ["de"] * 3,
+            "source": ["s"] * 9,
+            "n_chars": [11] * 9,
+        }
+    )
+    out = ta.ccnet_buckets(spark.createDataFrame(pdf)).toPandas()
+    en = out[out["lang"] == "en"]
+    clones = en[en["doc_id"] <= 4]
+    assert clones["bucket"].nunique() == 1
+    # every lang sees all of its docs bucketed, no nulls
+    assert len(out) == 9 and out["bucket"].notna().all()
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = con.sql(ta.duckdb_ccnet_buckets_sql()).df()
+    g = out.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    for col in ["doc_id", "lang", "avg_milli_bits", "bucket"]:
+        assert list(g[col]) == list(e[col]), col
