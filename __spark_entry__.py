@@ -24,6 +24,7 @@ from easyocr_spark.fixtures import corpus
 from easyocr_spark.ocr import udfs
 from easyocr_spark.operators import (
     bpe,
+    cleaning,
     clustering,
     dedup,
     events,
@@ -481,6 +482,16 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits): train pass = one bigram-count shuffle collected like a
     codebook; score pass = broadcast model join + integer sums."""
     return ta.lm_cross_entropy(tables.read_table(spark, sf_dir, "documents"))
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level scrub (Raffel et al.): terminal-punctuation /
+    min-5-words / javascript line rules + brace / lorem-ipsum page
+    rules over the deterministically augmented corpus — one narrow
+    zero-shuffle projection; counts and kept-text md5 bit-compared."""
+    from easyocr_spark.operators import cleaning
+
+    return cleaning.c4_clean(tables.read_table(spark, sf_dir, "documents"))
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,6 +962,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_score": q_quality_score,
         "lm_cross_entropy": q_lm_cross_entropy,
         "ccnet_buckets": q_ccnet_buckets,
+        "c4_clean": q_c4_clean,
         "token_stats": q_token_stats,
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
@@ -1122,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": ta.duckdb_quality_sql(),
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),
         "ccnet_buckets": ta.duckdb_ccnet_buckets_sql(),
+        "c4_clean": cleaning.duckdb_c4_clean_sql(),
         "token_stats": ta.duckdb_token_stats_sql(),
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),
