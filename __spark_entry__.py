@@ -604,6 +604,16 @@ def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonl.jsonl_roundtrip(spark, sf_dir)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining per anchor: top-3 cross-label
+    cosine neighbors + strongest same-label positive + FaceNet
+    semi-hard flag — one broadcast-probe corpus scan, one query-keyed
+    shuffle serving both the pos max-window and the rank window."""
+    return similarity.hard_negatives(
+        tables.read_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 retrieval for a fixed benchmark query set (Lucene
     +1 idf frozen driver-side in milli-bits, tf-saturation cleared to
@@ -990,6 +1000,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "hard_negatives": q_hard_negatives,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,
         "embedding_neardup": q_embedding_neardup,
@@ -1167,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": similarity.duckdb_lsh_topk_sql(),
         "knn_ivf": similarity.duckdb_ivf_topk_sql(),
         "knn_pq": similarity.duckdb_pq_topk_sql(),
+        "hard_negatives": similarity.duckdb_hard_negatives_sql(),
         "kmeans_clusters": clustering.duckdb_kmeans_sql(),
         "embedding_outliers": clustering.duckdb_embedding_outliers_sql(),
         "embedding_neardup": similarity.duckdb_neardup_sql(),

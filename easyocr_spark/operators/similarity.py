@@ -924,3 +924,117 @@ def duckdb_pq_topk_sql(k: int = K, n_candidates: int = PQ_CANDIDATES) -> str:
            cos_micro, adc_micro
     FROM rk WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------- hard-negative mining
+HN_K = 3                      # hard negatives kept per anchor
+HN_MARGIN_MICRO = 50_000      # semi-hard band: pos - margin < neg < pos
+HN_NO_POS = -2_000_000        # sentinel when an anchor's label is singleton
+
+
+def hard_negatives(embeddings: DataFrame, k: int = HN_K) -> DataFrame:
+    """Contrastive-training hard-negative mining (the DPR / FaceNet
+    batch-construction step): for each anchor in the deterministic
+    query subset, the top-k most-similar vectors with a DIFFERENT
+    label, annotated with the anchor's strongest same-label cosine and
+    the FaceNet SEMI-HARD flag (negative inside the margin band below
+    the positive: pos - margin < neg < pos — the negatives that
+    actually move a triplet loss).
+
+    One broadcast-probe corpus scan (the brute_force_topk shape: the
+    anchor set is bounded by construction, norms hoisted per row, the
+    dot product is the only per-pair fold), then ONE query-keyed
+    shuffle serving both aggregates: pos_cos is a max-over-window on
+    the same partition the negative rank window uses. Anchors whose
+    label has no second member get the HN_NO_POS sentinel (never a
+    NULL — engines disagree on NULL comparison semantics) and
+    is_semi_hard = false.
+
+    Output: (query_id, neg_rank, neighbor_id, cos_micro,
+    pos_cos_micro, is_semi_hard)."""
+    anchors = embeddings.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        _norm2(F.col("embedding")).alias("q_n2"),
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_emb"),
+        _norm2(F.col("embedding")).alias("n_n2"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("q_label") == F.col("n_label")).alias("same"),
+            cos_micro_pre(
+                F.col("q_emb"), F.col("n_emb"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos_micro"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    with_pos = scored.withColumn(
+        "pos_cos_micro",
+        F.coalesce(
+            F.max(F.when(F.col("same"), F.col("cos_micro"))).over(wq),
+            F.lit(HN_NO_POS),
+        ),
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        with_pos.filter(~F.col("same"))
+        .withColumn("neg_rank", F.row_number().over(wrank))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "neighbor_id",
+            "cos_micro",
+            "pos_cos_micro",
+            (
+                (F.col("cos_micro") < F.col("pos_cos_micro"))
+                & (
+                    F.col("cos_micro") + HN_MARGIN_MICRO
+                    > F.col("pos_cos_micro")
+                )
+            ).alias("is_semi_hard"),
+        )
+    )
+
+
+def duckdb_hard_negatives_sql(k: int = HN_K) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      embedding AS q_emb
+               FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             (q_label = e.label) AS same,
+             {duck_cos_micro('q_emb', 'e.embedding')} AS cos_micro
+      FROM q, embeddings e WHERE e.vec_id <> query_id
+    ),
+    with_pos AS (
+      SELECT *, coalesce(max(CASE WHEN same THEN cos_micro END)
+                           OVER (PARTITION BY query_id),
+                         {HN_NO_POS}) AS pos_cos_micro
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_micro DESC, neighbor_id ASC) AS neg_rank
+      FROM with_pos WHERE NOT same
+    )
+    SELECT query_id, CAST(neg_rank AS INT) AS neg_rank, neighbor_id,
+           cos_micro, pos_cos_micro,
+           (cos_micro < pos_cos_micro
+            AND cos_micro + {HN_MARGIN_MICRO} > pos_cos_micro)
+             AS is_semi_hard
+    FROM ranked WHERE neg_rank <= {k}
+    """

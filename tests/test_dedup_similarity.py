@@ -641,3 +641,70 @@ def test_snapshot_dedup_keeps_novel_drops_copies(spark):
     assert out.loc[100].tolist() == [False, 1, 833]
     assert out.loc[101].tolist() == [True, -1, 0]
     assert out.loc[102].tolist() == [False, 1, 1000]
+
+
+# ---------------------------------------------------- hard-negative mining
+def test_hard_negatives_numpy_and_semantics(spark):
+    """Hand-checkable mining: labels assigned so anchor 0 has one
+    strong positive and negatives straddling the semi-hard band."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    vecs[5] = vecs[0] * 2.0          # same-label clone: pos_cos = 1.0
+    labels = [i % 3 for i in range(30)]
+    labels[5] = 0                    # anchor 0's positive
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(30),
+            "embedding": [v.tolist() for v in vecs],
+            "label": labels,
+        }
+    )
+    out = similarity.hard_negatives(spark.createDataFrame(pdf)).toPandas()
+    mat = np.stack(pdf.embedding.map(np.array))
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(0, 30, similarity.QUERY_MOD):
+        negs = [
+            i
+            for i in range(30)
+            if i != q and labels[i] != labels[q]
+        ]
+        order = sorted(
+            negs, key=lambda i: (-np.floor(sims[q][i] * 1e6), i)
+        )[: similarity.HN_K]
+        sub = out[out.query_id == q].sort_values("neg_rank")
+        assert sub.neighbor_id.tolist() == order, q
+        # pos = best same-label cosine (anchor 0's clone gives ~1.0)
+        pos = max(
+            np.floor(sims[q][i] * 1e6)
+            for i in range(30)
+            if i != q and labels[i] == labels[q]
+        )
+        assert (sub.pos_cos_micro == pos).all()
+        for _, r in sub.iterrows():
+            expect = (
+                r.cos_micro < pos
+                and r.cos_micro + similarity.HN_MARGIN_MICRO > pos
+            )
+            assert bool(r.is_semi_hard) == expect
+
+
+def test_hard_negatives_singleton_label_sentinel(spark):
+    """An anchor whose label has no second member gets the HN_NO_POS
+    sentinel and is_semi_hard false on every row (never NULL)."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(21, 8)).astype("float32")
+    labels = [9 if i == 0 else 1 for i in range(21)]  # anchor 0 singleton
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(21),
+            "embedding": [v.tolist() for v in vecs],
+            "label": labels,
+        }
+    )
+    out = similarity.hard_negatives(spark.createDataFrame(pdf)).toPandas()
+    a0 = out[out.query_id == 0]
+    assert len(a0) == similarity.HN_K
+    assert (a0.pos_cos_micro == similarity.HN_NO_POS).all()
+    assert (~a0.is_semi_hard).all()
+    assert out.is_semi_hard.notna().all()
