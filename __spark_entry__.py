@@ -445,6 +445,13 @@ def q_mask_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.mask_duplicate_spans(_mutated(spark, sf_dir))
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/LBFS cut rule, stateless variant):
+    per-doc chunk manifest with content-addressed md5s — zero-shuffle
+    split('') + bounded window folds, the storage-dedup primitive."""
+    return dedup.cdc_chunks(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: rightmost-min of each 4-window of
     char-4-gram poly hashes, selected via an integer (hash, offset)
@@ -961,6 +968,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_keeplist": q_dedup_keeplist,
         "dup_source_matrix": q_dup_source_matrix,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "cdc_chunks": q_cdc_chunks,
         "inverted_index": q_inverted_index,
         "length_quantiles": q_length_quantiles,
         "decontaminate": q_decontaminate,
@@ -1127,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keeplist": dedup.duckdb_keeplist_sql(mutants),
         "dup_source_matrix": dedup.duckdb_dup_source_matrix_sql(),
         "winnowing_fingerprints": dedup.duckdb_winnowing_sql(mutants),
+        "cdc_chunks": dedup.duckdb_cdc_chunks_sql(),
         "inverted_index": retrieval.duckdb_inverted_index_sql(),
         "length_quantiles": ta.duckdb_length_quantiles_sql(),
         "decontaminate": dedup.duckdb_decontaminate_sql(

@@ -1918,3 +1918,127 @@ def duckdb_snapshot_dedup_sql(
     FROM ({new_sql}) nd
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = nd.doc_id
     """
+
+
+# ----------------------------------------- content-defined chunking (CDC)
+CDC_W = 8         # rolling window width (chars) the cut rule hashes
+CDC_DIVISOR = 64  # cut when window-hash % divisor == 0 -> ~64-char chunks
+
+
+def cdc_chunks(docs: DataFrame, w: int = CDC_W, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunking — the storage-layer dedup primitive
+    (Rabin/LBFS lineage; the mechanism below FastCDC and every
+    dedup'ing blob store): chunk boundaries are a property of the
+    CONTENT (cut after position i when the hash of the trailing
+    ``w``-char window is 0 mod ``divisor``), so an insertion early in a
+    document shifts only the chunks it touches — byte-offset chunking
+    would reshuffle everything downstream. Identical text regions
+    across near-identical documents therefore yield identical
+    (chunk_md5) rows, which is what makes chunk-level dedup work.
+
+    The STATELESS cut rule is the deliberate design choice: a pure
+    per-position predicate (no min/max chunk clamps) is embarrassingly
+    parallel and engine-exact — FastCDC's normalized min/max bounds
+    need a sequential scan per document (state = last cut), which at
+    cluster scale would be a per-doc mapInPandas kernel; the audit
+    variant here never needs it. Expected chunk length = divisor chars.
+
+    Narrow zero-shuffle plan: one split('') pass per doc, the w-wide
+    slice fold per position (O(w·n) bounded work, the substring-spans
+    discipline), a filter + explode — no joins, no aggregation; scales
+    with input splits like the parquet scan. Docs shorter than ``w``
+    (and empty docs) emit one whole-doc chunk.
+
+    Output: (doc_id, chunk_idx, start, chunk_len, chunk_md5) with
+    1-based ``start``; md5 over the raw (un-lowered) chunk text."""
+    n = F.length("text")
+    staged = docs.select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        F.transform(F.split(F.col("text"), ""), F.ascii).alias("cs"),
+    )
+    positions = F.when(
+        F.col("n") >= w, F.sequence(F.lit(w), F.col("n"))
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        positions,
+        lambda i: _poly_hash(F.slice("cs", i - w + 1, w), HASH_BASE_1)
+        % divisor
+        == 0,
+    )
+    # boundaries: interior cuts + the end-of-doc cut (dedup'd when the
+    # last position already cut); filter preserves ascending order and
+    # n is the maximum, so array_distinct keeps the list sorted
+    boundaries = F.array_distinct(
+        F.concat(cuts.cast("array<long>"), F.array(F.col("n").cast("long")))
+    )
+    paired = staged.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.zip_with(
+                F.concat(
+                    F.array(F.lit(0).cast("long")),
+                    F.slice(boundaries, 1, F.greatest(F.size(boundaries) - 1, F.lit(0))),
+                ),
+                boundaries,
+                lambda p, b: F.struct(p.alias("prev"), b.alias("cut")),
+            )
+        ).alias("idx", "pb"),
+    )
+    return paired.select(
+        "doc_id",
+        (F.col("idx") + 1).cast("long").alias("chunk_idx"),
+        (F.col("pb.prev") + 1).cast("long").alias("start"),
+        (F.col("pb.cut") - F.col("pb.prev")).cast("long").alias("chunk_len"),
+        F.md5(
+            F.expr("substring(text, CAST(pb.prev + 1 AS INT), CAST(pb.cut - pb.prev AS INT))")
+        ).alias("chunk_md5"),
+    )
+
+
+def duckdb_cdc_chunks_sql(
+    table: str = "documents", w: int = CDC_W, divisor: int = CDC_DIVISOR
+) -> str:
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(CAST(i-{w}+1 AS INT), CAST(i+1 AS INT)), "
+        "j -> ascii(substring(text, CAST(j AS INT), 1))::BIGINT)), "
+        f"(acc, c) -> (acc * {HASH_BASE_1} + c) % {HASH_MOD})"
+    )
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n FROM {table}
+    ),
+    cut AS (
+      SELECT doc_id, text, n,
+             -- list_distinct does not guarantee order: re-sort (values
+             -- are ascending positions, so the sort is a no-op shape)
+             list_sort(list_distinct(list_append(
+               CASE WHEN n >= {w}
+                 THEN list_filter(range({w}, n + 1),
+                                  i -> ({fold}) % {divisor} = 0)
+                 ELSE [] END, n))) AS boundaries
+      FROM staged
+    ),
+    ex AS (
+      SELECT doc_id, text, boundaries,
+             generate_subscripts(boundaries, 1) AS idx,
+             unnest(boundaries) AS cutpos
+      FROM cut
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+           CAST(CASE WHEN idx = 1 THEN 1
+                     ELSE boundaries[idx - 1] + 1 END AS BIGINT) AS start,
+           CAST(cutpos - CASE WHEN idx = 1 THEN 0
+                              ELSE boundaries[idx - 1] END AS BIGINT)
+             AS chunk_len,
+           md5(substring(text,
+                 CAST(CASE WHEN idx = 1 THEN 1
+                           ELSE boundaries[idx - 1] + 1 END AS INT),
+                 CAST(cutpos - CASE WHEN idx = 1 THEN 0
+                               ELSE boundaries[idx - 1] END AS INT)))
+             AS chunk_md5
+    FROM ex
+    """

@@ -708,3 +708,72 @@ def test_hard_negatives_singleton_label_sentinel(spark):
     assert (a0.pos_cos_micro == similarity.HN_NO_POS).all()
     assert (~a0.is_semi_hard).all()
     assert out.is_semi_hard.notna().all()
+
+
+# ----------------------------------------- content-defined chunking (CDC)
+def test_cdc_chunks_shift_resistance_and_coverage(spark):
+    """The CDC property: prepending text to a doc changes only the
+    chunks up to the first shared cut — the suffix chunk md5s realign.
+    Also pins full coverage (chunk lens sum to doc len, contiguous
+    starts) and the short-doc/empty-doc whole-chunk edges."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, "INSERTED PREFIX " + base, "short", ""],
+        }
+    )
+    out = dedup.cdc_chunks(spark.createDataFrame(pdf)).toPandas()
+    for did, text in zip(pdf.doc_id, pdf.text):
+        sub = out[out.doc_id == did].sort_values("chunk_idx")
+        assert sub.chunk_len.sum() == len(text)
+        assert list(sub.start) == [
+            1 + int(sub.chunk_len[: i].sum()) for i in range(len(sub))
+        ]
+    # shift resistance: doc 2 = prefix + doc 1; their chunk-md5 SETS
+    # must share the aligned suffix chunks (at least the final chunk
+    # of doc 1 persists unless a cut never re-synchronizes, which for
+    # a 360-char doc with divisor 64 is astronomically unlikely)
+    m1 = set(out[out.doc_id == 1].chunk_md5)
+    m2 = set(out[out.doc_id == 2].chunk_md5)
+    assert m1 & m2, "no shared chunks after prefix insertion"
+    # short + empty docs: one whole-doc chunk each
+    import hashlib
+
+    s3 = out[out.doc_id == 3]
+    assert len(s3) == 1 and int(s3.chunk_len.iloc[0]) == 5
+    assert s3.chunk_md5.iloc[0] == hashlib.md5(b"short").hexdigest()
+    s4 = out[out.doc_id == 4]
+    assert len(s4) == 1 and int(s4.chunk_len.iloc[0]) == 0
+    assert s4.chunk_md5.iloc[0] == hashlib.md5(b"").hexdigest()
+
+
+def test_cdc_chunks_engine_parity(spark):
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                ("spark filter join merge sort batch row %d " % i) * (i + 2)
+                for i in range(12)
+            ],
+        }
+    )
+    got = (
+        dedup.cdc_chunks(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(dedup.duckdb_cdc_chunks_sql())
+        .df()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 12
+    for col in ["doc_id", "chunk_idx", "start", "chunk_len", "chunk_md5"]:
+        assert list(got[col]) == list(exp[col]), col
