@@ -501,6 +501,15 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.c4_clean(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 rule audit: every published predicate as an integer
+    milli-unit column + keep verdict + first failing rule, one narrow
+    zero-shuffle projection over the per-class augmented corpus."""
+    return cleaning.gopher_rules(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity stratification per language:
     nearest-rank p33/p66 thresholds over the integer LM score,
@@ -981,6 +990,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lm_cross_entropy": q_lm_cross_entropy,
         "ccnet_buckets": q_ccnet_buckets,
         "c4_clean": q_c4_clean,
+        "gopher_rules": q_gopher_rules,
         "token_stats": q_token_stats,
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
@@ -1155,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),
         "ccnet_buckets": ta.duckdb_ccnet_buckets_sql(),
         "c4_clean": cleaning.duckdb_c4_clean_sql(),
+        "gopher_rules": cleaning.duckdb_gopher_rules_sql(),
         "token_stats": ta.duckdb_token_stats_sql(),
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),

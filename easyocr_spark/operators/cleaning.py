@@ -154,3 +154,191 @@ def duckdb_c4_clean_sql(table: str = "documents") -> str:
                ELSE '' END) AS kept_md5
     FROM marked
     """
+
+
+# ------------------------------------------------- Gopher quality rules
+# Rae et al. 2021 (Gopher), appendix A1.1 — the published rule set,
+# evaluated as an explicit per-rule audit table (quality_score is the
+# composite-bucket sibling; this is the rule-by-rule evidence a curation
+# run records). Thresholds in engine-exact integer milli-units.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3_000, 10_000   # mean word length, milli
+GOPHER_SYM_MAX = 100        # symbol-to-word ratio <= 0.1
+GOPHER_BULLET_MAX = 900     # <= 90% of lines start with a bullet
+GOPHER_ELLIPSIS_MAX = 300   # <= 30% of lines end with an ellipsis
+GOPHER_ALPHA_MIN = 800      # >= 80% of words contain a letter
+GOPHER_MIN_STOPWORDS = 2    # >= 2 distinct required stopwords
+
+
+def _gopher_augmented(docs: DataFrame) -> DataFrame:
+    """doc_id % 4 plants one rule violation per class (the corpus has
+    no bullets/ellipses/symbols of its own): 0 = injected stopwords so
+    fully-passing docs exist, 1 = 10 bullet lines (>90%), 2 = two
+    ellipsis lines (>30%), 3 = a hash-symbol block. Identical in the
+    oracle; the rule body is corpus-agnostic."""
+    bullets = "\n".join("• item" for _ in range(10))
+    injected = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" that have with to"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\n" + bullets))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit("\ncontinued story text...\nmore chapters follow..."),
+        )
+        .otherwise(F.lit(" ### ### ### ### ###"))
+    )
+    return docs.select(
+        "doc_id", F.lower(F.concat(F.col("text"), injected)).alias("aug")
+    )
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule audit: every published predicate as a
+    column plus the keep verdict and the FIRST failing rule in the
+    paper's order — one narrow zero-shuffle projection.
+
+    Output: (doc_id, n_words, mwl_milli, sym_milli, bullet_milli,
+    ellipsis_milli, alpha_milli, n_req_stop, gopher_keep, first_fail)."""
+    aug = _gopher_augmented(docs)
+    a = F.col("aug")
+    toks = F.split(a, r"\s+")
+    lines = F.split(a, "\n")
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    staged = aug.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.length(F.regexp_replace(a, r"\s+", "")).cast("long").alias("letters"),
+        (
+            F.length(a) - F.length(F.regexp_replace(a, "#", ""))
+            + F.size(F.regexp_extract_all(a, F.lit(r"\.\.\."), 0))
+        ).cast("long").alias("n_symbols"),
+        F.size(F.filter(lines, lambda l: l.startswith("•")))
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        ).cast("long").alias("n_req_stop"),
+    )
+    m = staged.select(
+        "doc_id",
+        "n_words",
+        F.expr("(letters * 1000) div n_words").alias("mwl_milli"),
+        F.expr("(n_symbols * 1000) div n_words").alias("sym_milli"),
+        F.expr("(n_bullet_lines * 1000) div n_lines").alias("bullet_milli"),
+        F.expr("(n_ellipsis_lines * 1000) div n_lines").alias("ellipsis_milli"),
+        F.expr("(n_alpha_words * 1000) div n_words").alias("alpha_milli"),
+        "n_req_stop",
+    )
+    rules = [
+        (
+            "word_count",
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        ),
+        (
+            "mean_word_len",
+            (F.col("mwl_milli") >= GOPHER_MWL_LO)
+            & (F.col("mwl_milli") <= GOPHER_MWL_HI),
+        ),
+        ("symbol_ratio", F.col("sym_milli") <= GOPHER_SYM_MAX),
+        ("bullet_lines", F.col("bullet_milli") <= GOPHER_BULLET_MAX),
+        ("ellipsis_lines", F.col("ellipsis_milli") <= GOPHER_ELLIPSIS_MAX),
+        ("alpha_words", F.col("alpha_milli") >= GOPHER_ALPHA_MIN),
+        ("stopwords", F.col("n_req_stop") >= GOPHER_MIN_STOPWORDS),
+    ]
+    keep = rules[0][1]
+    for _, cond in rules[1:]:
+        keep = keep & cond
+    first_fail = F.lit("")
+    for name, cond in reversed(rules):
+        first_fail = F.when(~cond, F.lit(name)).otherwise(first_fail)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mwl_milli",
+        "sym_milli",
+        "bullet_milli",
+        "ellipsis_milli",
+        "alpha_milli",
+        "n_req_stop",
+        keep.alias("gopher_keep"),
+        first_fail.alias("first_fail"),
+    )
+
+
+def duckdb_gopher_rules_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    rules = [
+        ("word_count", f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})"),
+        ("mean_word_len", f"(mwl_milli >= {GOPHER_MWL_LO} AND mwl_milli <= {GOPHER_MWL_HI})"),
+        ("symbol_ratio", f"(sym_milli <= {GOPHER_SYM_MAX})"),
+        ("bullet_lines", f"(bullet_milli <= {GOPHER_BULLET_MAX})"),
+        ("ellipsis_lines", f"(ellipsis_milli <= {GOPHER_ELLIPSIS_MAX})"),
+        ("alpha_words", f"(alpha_milli >= {GOPHER_ALPHA_MIN})"),
+        ("stopwords", f"(n_req_stop >= {GOPHER_MIN_STOPWORDS})"),
+    ]
+    keep = " AND ".join(c for _, c in rules)
+    first_fail = "''"
+    for name, cond in reversed(rules):
+        first_fail = f"CASE WHEN NOT {cond} THEN '{name}' ELSE {first_fail} END"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             lower(text || CASE doc_id % 4
+               WHEN 0 THEN ' that have with to'
+               WHEN 1 THEN chr(10) ||
+                 {" || chr(10) || ".join(["'• item'"] * 10)}
+               WHEN 2 THEN chr(10) || 'continued story text...'
+                 || chr(10) || 'more chapters follow...'
+               ELSE ' ### ### ### ### ###'
+             END) AS aug
+      FROM {table}
+    ),
+    staged AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(aug, '\\s+'))::BIGINT AS n_words,
+             len(string_split(aug, chr(10)))::BIGINT AS n_lines,
+             length(regexp_replace(aug, '\\s+', '', 'g'))::BIGINT AS letters,
+             (length(aug) - length(replace(aug, '#', ''))
+              + len(regexp_extract_all(aug, '\\.\\.\\.')))::BIGINT AS n_symbols,
+             len(list_filter(string_split(aug, chr(10)),
+                             l -> starts_with(l, '•')))::BIGINT
+               AS n_bullet_lines,
+             len(list_filter(string_split(aug, chr(10)),
+                             l -> regexp_matches(l, '\\.\\.\\.$')))::BIGINT
+               AS n_ellipsis_lines,
+             len(list_filter(regexp_split_to_array(aug, '\\s+'),
+                             t -> regexp_matches(t, '[a-z]')))::BIGINT
+               AS n_alpha_words,
+             len(list_intersect(
+                   list_distinct(regexp_split_to_array(aug, '\\s+')),
+                   [{stop_list}]))::BIGINT AS n_req_stop
+      FROM aug
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             (letters * 1000) // n_words AS mwl_milli,
+             (n_symbols * 1000) // n_words AS sym_milli,
+             (n_bullet_lines * 1000) // n_lines AS bullet_milli,
+             (n_ellipsis_lines * 1000) // n_lines AS ellipsis_milli,
+             (n_alpha_words * 1000) // n_words AS alpha_milli,
+             n_req_stop
+      FROM staged
+    )
+    SELECT doc_id, n_words, mwl_milli, sym_milli, bullet_milli,
+           ellipsis_milli, alpha_milli, n_req_stop,
+           ({keep}) AS gopher_keep,
+           {first_fail} AS first_fail
+    FROM m
+    """

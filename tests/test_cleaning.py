@@ -69,3 +69,73 @@ def test_c4_engine_parity(spark):
     )
     for col in ["doc_id", "doc_action", "n_lines", "n_kept", "kept_md5"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+# ------------------------------------------------- Gopher quality rules
+def test_gopher_rules_per_class(spark):
+    """One planted violation per augmentation class, checked against
+    hand-computed milli ratios on a fixed 60-word base text."""
+    base = " ".join(f"word{i}" for i in range(60))  # 60 words, all alpha
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [base] * 4,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(base)] * 4,
+        }
+    )
+    out = (
+        cleaning.gopher_rules(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # class 0: stopwords injected -> full pass
+    assert bool(out.loc[0, "gopher_keep"]) and out.loc[0, "first_fail"] == ""
+    assert out.loc[0, "n_req_stop"] == 4  # that, have, with, to
+    # class 1: 10 bullet lines of 11 total -> 909 milli > 900
+    assert out.loc[1, "bullet_milli"] == 10 * 1000 // 11
+    assert out.loc[1, "first_fail"] == "bullet_lines"
+    # class 2: 2 of 3 lines end in ellipsis -> 666 > 300
+    assert out.loc[2, "ellipsis_milli"] == 2000 // 3
+    assert out.loc[2, "first_fail"] == "ellipsis_lines"
+    # class 3: 15 hashes / 65 words = 230 milli > 100
+    assert out.loc[3, "sym_milli"] == 15 * 1000 // 65
+    assert out.loc[3, "first_fail"] == "symbol_ratio"
+    assert not out.loc[[1, 2, 3], "gopher_keep"].any()
+
+
+def test_gopher_short_doc_and_parity(spark):
+    """Sub-50-word docs fail word_count FIRST (the paper's rule order);
+    full-frame parity against the DuckDB twin."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(16),
+            "text": [
+                " ".join(f"tok{j}" for j in range(10 + 7 * i))
+                for i in range(16)
+            ],
+            "lang": ["en"] * 16,
+            "source": ["s"] * 16,
+            "n_chars": [0] * 16,
+        }
+    )
+    got = (
+        cleaning.gopher_rules(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    short = got[got.n_words < 50]
+    assert len(short) and (short.first_fail == "word_count").all()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(cleaning.duckdb_gopher_rules_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in got.columns:
+        assert list(got[col]) == list(exp[col]), col
