@@ -501,6 +501,14 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.c4_clean(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-language allocation: integer water-filling of a
+    half-corpus token budget under a 1-epoch cap — one map-combining
+    shuffle for the lang token counts, bounded-language driver fold,
+    recursive-CTE oracle twin."""
+    return mixing.unimax_mix(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1.1 rule audit: every published predicate as an integer
     milli-unit column + keep verdict + first failing rule, one narrow
@@ -1005,6 +1013,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bloom_membership": q_bloom_membership,
         "pii_scan": q_pii_scan,
         "corpus_mix": q_corpus_mix,
+        "unimax_mix": q_unimax_mix,
         "dsir_importance": q_dsir_importance,
         "profile_documents": q_profile_documents,
         "stratified_sample": q_stratified_sample,
@@ -1182,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": sketches.duckdb_bloom_sql(),
         "pii_scan": pii.duckdb_pii_sql(),
         "corpus_mix": mixing.duckdb_mix_sql(),
+        "unimax_mix": mixing.duckdb_unimax_sql(),
         "dsir_importance": mixing.duckdb_dsir_sql(),
         "profile_documents": profiling.duckdb_profile_sql(),
         "stratified_sample": ta.duckdb_stratified_sample_sql(),

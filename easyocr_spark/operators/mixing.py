@@ -305,3 +305,110 @@ def duckdb_mix_sql(table: str = "documents") -> str:
            END AS boost_milli
     FROM shared
     """
+
+
+# ------------------------------------------------------------ UniMax
+UNIMAX_EPOCH_CAP = 1          # max epochs any language may repeat
+UNIMAX_BUDGET_DEN = 2         # train budget = total corpus tokens // 2
+
+
+def unimax_mix(docs: DataFrame) -> DataFrame:
+    """UniMax language allocation (Chung et al. 2023): spread a fixed
+    token budget UNIFORMLY across languages, capped at ``epoch_cap``
+    epochs of each language's own data — the principled alternative to
+    temperature mixing (corpus_mix) that never over-repeats a
+    low-resource language.
+
+    Integer water-filling, languages visited in (n_tokens, lang)
+    ascending order: the i-th language gets
+    ``min(cap_i, remaining div langs_left)`` — small languages bind
+    at their cap, the freed budget flows to larger ones, each floor
+    leaving at most langs_left-1 tokens unallocated (documented, and
+    deterministic in both engines). Budget = total tokens div 2,
+    cap = 1 epoch, so both the capped and uncapped branches occur on
+    any multi-language corpus.
+
+    Plan: ONE map-side-combining shuffle (per-lang token counts over
+    the whitespace-token contract); the sequential fold runs on the
+    collected LANGUAGE table — bounded by |langs| by construction, the
+    corpus_mix normalization precedent — and returns as a literal
+    frame. The oracle reproduces the same fold with a recursive CTE.
+
+    Output: (lang, n_tokens, alloc_tokens, share_ppm, epochs_milli,
+    capped)."""
+    from easyocr_spark.operators.text_analysis import tokens_col
+
+    counts = (
+        docs.select(F.col("lang"), F.size(tokens_col(F.col("text"))).alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").cast("long").alias("n_tokens"))
+    )
+    rows = sorted(
+        ((r["lang"], int(r["n_tokens"])) for r in counts.collect()),
+        key=lambda x: (x[1], x[0]),
+    )
+    total = sum(n for _, n in rows)
+    budget = total // UNIMAX_BUDGET_DEN
+    remaining, out = budget, []
+    for i, (lang, n) in enumerate(rows):
+        cap = UNIMAX_EPOCH_CAP * n
+        alloc = min(cap, remaining // (len(rows) - i))
+        remaining -= alloc
+        out.append(
+            (
+                lang,
+                n,
+                alloc,
+                alloc * 1_000_000 // budget if budget else 0,
+                alloc * 1000 // n if n else 0,
+                alloc == cap,
+            )
+        )
+    return docs.sparkSession.createDataFrame(
+        out,
+        schema=(
+            "lang string, n_tokens long, alloc_tokens long, "
+            "share_ppm long, epochs_milli long, capped boolean"
+        ),
+    )
+
+
+def duckdb_unimax_sql(table: str = "documents") -> str:
+    return f"""
+    WITH RECURSIVE counts AS (
+      SELECT lang,
+             sum(len(regexp_split_to_array(lower(text), '\\s+')))::BIGINT
+               AS n_tokens
+      FROM {table} GROUP BY lang
+    ),
+    ordered AS (
+      SELECT lang, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, lang) AS i,
+             count(*) OVER () AS n_langs,
+             (SELECT sum(n_tokens) // {UNIMAX_BUDGET_DEN} FROM counts)
+               AS budget
+      FROM counts
+    ),
+    fill AS (
+      SELECT i, n_langs, budget, lang, n_tokens,
+             least({UNIMAX_EPOCH_CAP} * n_tokens,
+                   budget // n_langs) AS alloc,
+             budget - least({UNIMAX_EPOCH_CAP} * n_tokens,
+                            budget // n_langs) AS remaining
+      FROM ordered WHERE i = 1
+      UNION ALL
+      SELECT o.i, o.n_langs, o.budget, o.lang, o.n_tokens,
+             least({UNIMAX_EPOCH_CAP} * o.n_tokens,
+                   f.remaining // (o.n_langs - o.i + 1)),
+             f.remaining - least({UNIMAX_EPOCH_CAP} * o.n_tokens,
+                                 f.remaining // (o.n_langs - o.i + 1))
+      FROM fill f JOIN ordered o ON o.i = f.i + 1
+    )
+    SELECT lang, n_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN budget > 0 THEN alloc * 1000000 // budget
+                     ELSE 0 END AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN n_tokens > 0 THEN alloc * 1000 // n_tokens
+                     ELSE 0 END AS BIGINT) AS epochs_milli,
+           (alloc = {UNIMAX_EPOCH_CAP} * n_tokens) AS capped
+    FROM fill
+    """

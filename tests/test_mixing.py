@@ -104,3 +104,69 @@ def test_dsir_engine_parity(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(s.astype("int64"), d.astype("int64"))
+
+
+# ------------------------------------------------------------ UniMax
+def test_unimax_waterfill_hand_case(spark):
+    """Skewed 3-lang corpus where the small language binds at its
+    1-epoch cap and the freed budget flows to the big ones."""
+    import pandas as pd
+
+    # tokens per doc = word count; lang zz: 4 tokens, en: 40, de: 40
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(9),
+            "text": (["tiny lang doc four"] * 1)
+            + [" ".join(f"w{j}" for j in range(10))] * 8,
+            "lang": ["zz"] + ["en"] * 4 + ["de"] * 4,
+            "source": ["s"] * 9,
+            "n_chars": [0] * 9,
+        }
+    )
+    out = (
+        mixing.unimax_mix(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("lang")
+    )
+    # total = 84, budget = 42; ascending order: zz(4), de(40), en(40)
+    # zz: min(4, 42//3=14) = 4 capped; de: min(40, 38//2=19) = 19;
+    # en: min(40, 19//1) = 19
+    assert out.loc["zz", "alloc_tokens"] == 4 and bool(out.loc["zz", "capped"])
+    assert out.loc["de", "alloc_tokens"] == 19 and not bool(out.loc["de", "capped"])
+    assert out.loc["en", "alloc_tokens"] == 19
+    assert out.loc["zz", "epochs_milli"] == 1000
+    assert int(out.alloc_tokens.sum()) <= 42
+
+
+def test_unimax_engine_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [
+                " ".join(f"w{j}" for j in range(3 + (i * 13) % 17))
+                for i in range(30)
+            ],
+            "lang": [["en", "de", "fr", "zz"][i % 4] for i in range(30)],
+            "source": ["s"] * 30,
+            "n_chars": [0] * 30,
+        }
+    )
+    got = (
+        mixing.unimax_mix(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(mixing.duckdb_unimax_sql())
+        .df()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for col in got.columns:
+        assert list(got[col]) == list(exp[col]), col
