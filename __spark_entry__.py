@@ -445,6 +445,15 @@ def q_mask_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.mask_duplicate_spans(_mutated(spark, sf_dir))
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (memorization/uniqueness audit): fraction
+    of distinct 3-grams with corpus df=1 — shared gram keys, one df
+    shuffle, gram-keyed left-semi join-back, never a doc pair join.
+    Runs over the mutant-augmented corpus so near-copies genuinely
+    depress novelty."""
+    return dedup.ngram_novelty(_mutated(spark, sf_dir))
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (Rabin/LBFS cut rule, stateless variant):
     per-doc chunk manifest with content-addressed md5s — zero-shuffle
@@ -986,6 +995,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dup_source_matrix": q_dup_source_matrix,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "cdc_chunks": q_cdc_chunks,
+        "ngram_novelty": q_ngram_novelty,
         "inverted_index": q_inverted_index,
         "length_quantiles": q_length_quantiles,
         "decontaminate": q_decontaminate,
@@ -1155,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_source_matrix": dedup.duckdb_dup_source_matrix_sql(),
         "winnowing_fingerprints": dedup.duckdb_winnowing_sql(mutants),
         "cdc_chunks": dedup.duckdb_cdc_chunks_sql(),
+        "ngram_novelty": dedup.duckdb_ngram_novelty_sql(mutants),
         "inverted_index": retrieval.duckdb_inverted_index_sql(),
         "length_quantiles": ta.duckdb_length_quantiles_sql(),
         "decontaminate": dedup.duckdb_decontaminate_sql(

@@ -74,12 +74,14 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from easyocr_spark.operators import (
+        cleaning,
         clustering,
         dedup,
         events,
         mixing,
         pii,
         pipeline,
+        retrieval,
         sharding,
         similarity,
         sketches,
@@ -226,6 +228,13 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     ))
     timed("dsir", lambda: mixing.dsir_importance(flat_docs))
     timed("embedding_outliers", lambda: clustering.embedding_outliers(emb))
+    timed("bm25_topk", lambda: retrieval.bm25_topk(flat_docs))
+    timed("ccnet_buckets", lambda: ta.ccnet_buckets(flat_docs))
+    timed("c4_clean", lambda: cleaning.c4_clean(flat_docs))
+    timed("gopher_rules", lambda: cleaning.gopher_rules(flat_docs))
+    timed("cdc_chunks", lambda: dedup.cdc_chunks(flat_docs))
+    timed("hard_negatives", lambda: similarity.hard_negatives(emb))
+    timed("unimax_mix", lambda: mixing.unimax_mix(flat_docs))
 
     extract_sec = timings["extract"]
     result = {

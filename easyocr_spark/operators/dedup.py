@@ -2042,3 +2042,106 @@ def duckdb_cdc_chunks_sql(
              AS chunk_md5
     FROM ex
     """
+
+
+# --------------------------------------------------- n-gram novelty audit
+NOVELTY_N = 3  # short grams so cross-doc sharing actually occurs
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization/uniqueness audit
+    (the Lee-et-al memorization analyses ask exactly this: how much of
+    a document is corpus-unique vs shared?): the fraction of a doc's
+    DISTINCT n-token grams that appear in NO other document (document
+    frequency 1). Low novelty = templated/syndicated text the dedup
+    family should have caught; high novelty = genuinely fresh content
+    (or noise — pair with quality_score).
+
+    Plan: the shared _pos_grams 62-bit integer keys deduplicated to
+    (doc, gram) and persisted once (owned cache, decontaminate
+    contract); gram df in one map-side-combining shuffle; novel grams
+    (df = 1) flow back over a gram-keyed LEFT-SEMI join — never a doc
+    pair join; two per-doc folds. Linear in total gram count at any
+    corpus size. Short default n=3 (cross-doc 3-gram sharing is the
+    norm; 10-grams would make every doc trivially novel).
+
+    Returns an eagerly persisted result (caller owns unpersisting).
+    Output: (doc_id, n_distinct_grams, n_novel_grams, novelty_milli)
+    for docs with at least one gram."""
+    from pyspark import StorageLevel
+
+    grams = (
+        _pos_grams(docs, n)
+        .select("doc_id", "g1", "g2")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    novel_keys = (
+        grams.groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") == 1)
+        .select("g1", "g2")
+    )
+    novel = (
+        grams.join(novel_keys, ["g1", "g2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel_grams"))
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_grams")
+    )
+    out = (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            F.coalesce("n_novel_grams", F.lit(0)).cast("long").alias(
+                "n_novel_grams"
+            ),
+        )
+        .withColumn(
+            "novelty_milli",
+            F.expr("(n_novel_grams * 1000) div n_distinct_grams"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    grams.unpersist()
+    return out
+
+
+def duckdb_ngram_novelty_sql(table_sql: str, n: int = NOVELTY_N) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM ({table_sql})
+    ),
+    hs AS (
+      SELECT doc_id,
+             {_duck_tok_fold(HASH_BASE_1)} AS h1,
+             {_duck_tok_fold(HASH_BASE_2)} AS h2
+      FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             {_duck_win_fold('h1', HASH_BASE_3, n)} AS g1,
+             {_duck_win_fold('h2', HASH_BASE_4, n)} AS g2
+      FROM hs, UNNEST(range(0, greatest(len(h1) - {n} + 1, 0))) AS t(i)
+    ),
+    novel_keys AS (
+      SELECT g1, g2 FROM grams GROUP BY g1, g2 HAVING count(*) = 1
+    ),
+    novel AS (
+      SELECT doc_id, count(*) AS n_novel_grams
+      FROM grams SEMI JOIN novel_keys USING (g1, g2)
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_distinct_grams FROM grams GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_distinct_grams,
+           CAST(coalesce(v.n_novel_grams, 0) AS BIGINT) AS n_novel_grams,
+           CAST((coalesce(v.n_novel_grams, 0) * 1000) // t.n_distinct_grams
+                AS BIGINT) AS novelty_milli
+    FROM totals t LEFT JOIN novel v USING (doc_id)
+    """

@@ -26,6 +26,7 @@ def capture_plan(df) -> str:
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     from .. import session
     from ..operators import (
+        cleaning,
         clustering,
         dedup,
         mixing,
@@ -149,6 +150,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         ),
         "profile_documents (one stack-unpivot scan, one shuffle)": (
             profiling.profile_documents(flat)
+        ),
+        "bm25_topk (query-term postings only; broadcast idf + dl join)": (
+            retrieval.bm25_topk(flat)
+        ),
+        "ccnet_buckets (lm shuffle + per-lang window + 2-row broadcast)": (
+            ta.ccnet_buckets(flat)
+        ),
+        "c4_clean (narrow line-filter projection — zero Exchange)": (
+            cleaning.c4_clean(flat)
+        ),
+        "gopher_rules (narrow per-rule audit — zero Exchange)": (
+            cleaning.gopher_rules(flat)
+        ),
+        "cdc_chunks (split('') + bounded window folds — zero Exchange)": (
+            dedup.cdc_chunks(flat)
+        ),
+        "hard_negatives (broadcast probe scan, one query-keyed shuffle)": (
+            similarity.hard_negatives(emb)
+        ),
+        "unimax_mix (one lang-count shuffle; bounded driver fold)": (
+            mixing.unimax_mix(flat)
         ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled

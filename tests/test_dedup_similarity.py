@@ -777,3 +777,49 @@ def test_cdc_chunks_engine_parity(spark):
     assert len(got) == len(exp) > 12
     for col in ["doc_id", "chunk_idx", "start", "chunk_len", "chunk_md5"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+# --------------------------------------------------- n-gram novelty audit
+def test_ngram_novelty_exact_counts(spark):
+    """Hand corpus: doc 1 and 2 share one 3-gram window; doc 3 is
+    fully unique; a verbatim clone pair has zero novelty."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d",          # grams: (a b c), (b c d)
+                "x a b c",          # grams: (x a b), (a b c) <- shared
+                "p q r s",          # both grams unique
+                "m n o p q",        # clone of 5
+                "m n o p q",
+            ],
+        }
+    )
+    out = (
+        dedup.ngram_novelty(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_distinct_grams"] == 2
+    assert out.loc[1, "n_novel_grams"] == 1      # (b c d) only
+    assert out.loc[1, "novelty_milli"] == 500
+    assert out.loc[2, "n_novel_grams"] == 1      # (x a b) only
+    assert out.loc[3, "novelty_milli"] == 1000
+    # clones: every gram has df=2 -> novelty 0
+    assert out.loc[4, "novelty_milli"] == 0
+    assert out.loc[5, "novelty_milli"] == 0
+    # engine parity on the same frame
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(dedup.duckdb_ngram_novelty_sql("SELECT * FROM documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = out.reset_index().sort_values("doc_id").reset_index(drop=True)
+    for col in ["doc_id", "n_distinct_grams", "n_novel_grams", "novelty_milli"]:
+        assert list(got[col]) == list(exp[col]), col
