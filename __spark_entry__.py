@@ -627,6 +627,19 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_manifest(_mutated(spark, sf_dir))
 
 
+def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, reason) datacard: the release-report rollup of the
+    curation manifest — doc/token counts and source shares, one
+    map-combining shuffle to a |sources| x |reasons| bounded table;
+    synthetic near-dup ids attribute to the 'synthetic' source."""
+    from easyocr_spark.operators import curation
+
+    return curation.datacard(
+        _mutated(spark, sf_dir),
+        tables.read_table(spark, sf_dir, "documents"),
+    )
+
+
 def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink round-trip: documents written to JSON-Lines by
     Spark and read back (explicit schema, FAILFAST) must equal the
@@ -1003,6 +1016,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "neardup_pagerank": q_neardup_pagerank,
         "snapshot_dedup": q_snapshot_dedup,
         "curation_manifest": q_curation_manifest,
+        "datacard": q_datacard,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "lm_cross_entropy": q_lm_cross_entropy,
@@ -1061,6 +1075,12 @@ def _curation_oracle_sql(mutants: str) -> str:
     from easyocr_spark.operators import curation
 
     return curation.duckdb_curation_sql(mutants)
+
+
+def _datacard_oracle_sql(mutants: str) -> str:
+    from easyocr_spark.operators import curation
+
+    return curation.duckdb_datacard_sql(mutants)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1180,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             dedup.duckdb_snapshot_new_sql(),
         ),
         "curation_manifest": _curation_oracle_sql(mutants),
+        "datacard": _datacard_oracle_sql(mutants),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),

@@ -235,6 +235,9 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("cdc_chunks", lambda: dedup.cdc_chunks(flat_docs))
     timed("hard_negatives", lambda: similarity.hard_negatives(emb))
     timed("unimax_mix", lambda: mixing.unimax_mix(flat_docs))
+    timed("ngram_novelty", lambda: dedup.ngram_novelty(
+        dedup.with_mutants(flat_docs)
+    ))
 
     extract_sec = timings["extract"]
     result = {

@@ -119,3 +119,94 @@ def duckdb_curation_sql(
     )
     SELECT doc_id, (reason = 'ok') AS keep, reason FROM reasons
     """
+
+
+def datacard(docs: DataFrame, raw_docs: DataFrame) -> DataFrame:
+    """Per-(source, reason) DATACARD — the dataset-documentation rollup
+    (Datasheets-for-Datasets / Dolma data card shape): for every
+    source, how many documents and tokens land on each curation
+    outcome, and each outcome's share of the source. This is the table
+    a release report prints; the manifest is per-document, the
+    datacard is what humans read.
+
+    ``docs`` is the (possibly mutant-augmented) corpus the manifest was
+    computed over; ``raw_docs`` carries the source column. Synthetic
+    near-dup/clone docs (ids beyond the raw range) attribute to the
+    'synthetic' source via the left join's null — deterministic in
+    both engines.
+
+    Scale shape: the per-doc joins are doc_id-keyed and linear (AQE
+    sizes them); the rollup is ONE map-side-combining shuffle to a
+    table bounded by |sources| x |reasons|; the share window runs on
+    that bounded table only. Composes curation_manifest (and releases
+    its persisted dependency after materializing — the owned-cache
+    chain).
+
+    Output: (source, reason, n_docs, n_tokens, docs_milli)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .text_analysis import tokens_col
+
+    manifest = curation_manifest(docs)
+    toks = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_toks")
+    )
+    src = raw_docs.select("doc_id", "source")
+    rolled = (
+        manifest.join(toks, "doc_id")
+        .join(src, "doc_id", "left")
+        .select(
+            F.coalesce("source", F.lit("synthetic")).alias("source"),
+            "reason",
+            "n_toks",
+        )
+        .groupBy("source", "reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source")
+    # integer div, not double-divide-then-cast: Spark's long cast
+    # truncates while DuckDB's rounds — floor division agrees exactly
+    out = (
+        rolled.withColumn(
+            "total", F.sum("n_docs").over(w).cast("long")
+        )
+        .select(
+            "source",
+            "reason",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_docs * 1000) div total").alias("docs_milli"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    manifest.unpersist()
+    return out
+
+
+def duckdb_datacard_sql(table_sql: str, raw_table: str = "documents") -> str:
+    return f"""
+    WITH manifest AS ({duckdb_curation_sql(table_sql)}),
+    toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(text), '\\s+'))::BIGINT
+               AS n_toks
+      FROM ({table_sql})
+    ),
+    rolled AS (
+      SELECT coalesce(r.source, 'synthetic') AS source, m.reason,
+             count(*)::BIGINT AS n_docs, sum(t.n_toks)::BIGINT AS n_tokens
+      FROM manifest m
+      JOIN toks t USING (doc_id)
+      LEFT JOIN {raw_table} r USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT source, reason, n_docs, n_tokens,
+           CAST((n_docs * 1000) // sum(n_docs) OVER (PARTITION BY source)
+                AS BIGINT) AS docs_milli
+    FROM rolled
+    """

@@ -172,6 +172,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "unimax_mix (one lang-count shuffle; bounded driver fold)": (
             mixing.unimax_mix(flat)
         ),
+        "ngram_novelty (df shuffle + gram-keyed semi join-back)": (
+            dedup.ngram_novelty(dedup.with_mutants(flat))
+        ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
     # (results join-back + media join degrade to shuffle joins) and with

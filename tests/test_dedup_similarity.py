@@ -823,3 +823,38 @@ def test_ngram_novelty_exact_counts(spark):
     got = out.reset_index().sort_values("doc_id").reset_index(drop=True)
     for col in ["doc_id", "n_distinct_grams", "n_novel_grams", "novelty_milli"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+# ---------------------------------------------------------------- datacard
+def test_datacard_rollup_invariants(spark):
+    """The datacard must partition every manifest doc into exactly one
+    (source, reason) cell, synthetic ids land on the 'synthetic'
+    source, and per-source doc shares sum to ~1000 milli."""
+    from easyocr_spark.operators import curation
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))
+                for i in range(40)
+            ],
+            "lang": ["en"] * 40,
+            "source": [f"src{i % 3}" for i in range(40)],
+            "n_chars": [0] * 40,
+        }
+    )
+    raw = spark.createDataFrame(pdf)
+    aug = dedup.with_mutants(raw)
+    n_aug = aug.count()
+    out = curation.datacard(aug, raw).toPandas()
+    assert int(out.n_docs.sum()) == n_aug
+    # synthetic mutant/clone ids exist in this frame and attribute there
+    assert "synthetic" in set(out.source)
+    for src, grp in out.groupby("source"):
+        total = grp.n_docs.sum()
+        # floor division: sum of milli shares in (1000 - #cells, 1000]
+        assert 1000 - len(grp) < grp.docs_milli.sum() <= 1000, src
+        assert (grp.n_tokens > 0).all()
+    out2 = curation.datacard(aug, raw)
+    out2.unpersist()
