@@ -36,6 +36,7 @@ from easyocr_spark.operators import (
     sharding,
     similarity,
     sketches,
+    web_extract,
 )
 from easyocr_spark.operators import text_analysis as ta
 from easyocr_spark.sources import tables
@@ -627,6 +628,31 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_manifest(_mutated(spark, sf_dir))
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic main-content extraction (Readability/Boilerpipe
+    link-density blocks) over deterministically synthesized pages —
+    nav/ads/script/footer chrome must drop, the recovered main text
+    must equal the original document byte-for-byte (matches_original).
+    Narrow zero-shuffle regex/array projection."""
+    from easyocr_spark.operators import web_extract
+
+    return web_extract.html_extract(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
+def q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-style layout parse: reading-order reconstruction from an
+    unordered positioned-line set — per-page x-midpoint column split,
+    (page, col, y) sort, per-doc bounded sort_array; the rebuilt text
+    must equal the original token order (matches_original)."""
+    from easyocr_spark.operators import web_extract
+
+    return web_extract.layout_reading_order(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, reason) datacard: the release-report rollup of the
     curation manifest — doc/token counts and source shares, one
@@ -1017,6 +1043,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "snapshot_dedup": q_snapshot_dedup,
         "curation_manifest": q_curation_manifest,
         "datacard": q_datacard,
+        "html_extract": q_html_extract,
+        "layout_reading_order": q_layout_reading_order,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "lm_cross_entropy": q_lm_cross_entropy,
@@ -1201,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curation_manifest": _curation_oracle_sql(mutants),
         "datacard": _datacard_oracle_sql(mutants),
+        "html_extract": web_extract.duckdb_html_extract_sql(),
+        "layout_reading_order": web_extract.duckdb_layout_sql(),
         "lang_id": ta.duckdb_lang_id_sql(),
         "quality_score": ta.duckdb_quality_sql(),
         "lm_cross_entropy": ta.duckdb_lm_cross_entropy_sql(),

@@ -85,6 +85,7 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
         sharding,
         similarity,
         sketches,
+        web_extract,
     )
     from easyocr_spark.operators import text_analysis as ta
     from easyocr_spark.session import get_spark
@@ -237,6 +238,10 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     timed("unimax_mix", lambda: mixing.unimax_mix(flat_docs))
     timed("ngram_novelty", lambda: dedup.ngram_novelty(
         dedup.with_mutants(flat_docs)
+    ))
+    timed("html_extract", lambda: web_extract.html_extract(flat_docs))
+    timed("layout_reading_order", lambda: web_extract.layout_reading_order(
+        flat_docs
     ))
 
     extract_sec = timings["extract"]

@@ -28,6 +28,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     from ..operators import (
         cleaning,
         clustering,
+        curation,
         dedup,
         mixing,
         pii,
@@ -37,6 +38,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         sharding,
         similarity,
         sketches,
+        web_extract,
     )
     from ..operators import text_analysis as ta
     from ..sources import tables
@@ -174,6 +176,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         ),
         "ngram_novelty (df shuffle + gram-keyed semi join-back)": (
             dedup.ngram_novelty(dedup.with_mutants(flat))
+        ),
+        "datacard (bounded sources x reasons rollup of the manifest)": (
+            curation.datacard(dedup.with_mutants(flat), flat)
+        ),
+        "html_extract (link-density DOM heuristic — zero Exchange)": (
+            web_extract.html_extract(flat)
+        ),
+        "layout_reading_order (per-page column windows + per-doc sort)": (
+            web_extract.layout_reading_order(flat)
         ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
