@@ -628,6 +628,16 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_manifest(_mutated(spark, sf_dir))
 
 
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia of the trained k-means (the Lloyd's
+    objective as a k-row elbow/monitoring table): exact HUGEINT/decimal
+    sums carried as strings, floor-div means — one rollup shuffle over
+    the assignment table."""
+    return clustering.kmeans_inertia(
+        tables.read_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristic main-content extraction (Readability/Boilerpipe
     link-density blocks) over deterministically synthesized pages —
@@ -1081,6 +1091,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_pq": q_knn_pq,
         "hard_negatives": q_hard_negatives,
         "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_inertia": q_kmeans_inertia,
         "embedding_outliers": q_embedding_outliers,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
@@ -1272,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": similarity.duckdb_pq_topk_sql(),
         "hard_negatives": similarity.duckdb_hard_negatives_sql(),
         "kmeans_clusters": clustering.duckdb_kmeans_sql(),
+        "kmeans_inertia": clustering.duckdb_kmeans_inertia_sql(),
         "embedding_outliers": clustering.duckdb_embedding_outliers_sql(),
         "embedding_neardup": similarity.duckdb_neardup_sql(),
         "semantic_dedup": clustering.duckdb_semdedup_sql(

@@ -449,3 +449,54 @@ def duckdb_semdedup_sql(
       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
     WHERE {cc} >= {micro}
     """
+
+
+# ---------------------------------------------------- k-means inertia
+def kmeans_inertia(
+    embeddings: DataFrame, k: int = K_CLUSTERS, iters: int = ITERS
+) -> DataFrame:
+    """Per-cluster INERTIA readout of the trained k-means — the model
+    quality table an elbow/monitoring pass reads (total within-cluster
+    squared distance is THE Lloyd's objective; per-cluster rows also
+    expose imbalance and degenerate clusters).
+
+    Composes kmeans_clusters (its exact int64 micro-dist2 assignments);
+    the rollup is ONE map-side-combining shuffle to a k-row table.
+    The inertia sum runs in decimal(38,0)/HUGEINT (exact at any count:
+    dist2 is bounded by DIM·(2·MICRO)^2 ≈ 2.6e14, so int64 would
+    already overflow near ~35k vectors per cluster); the mean is a
+    floor division of the exact integer, bit-equal across engines.
+
+    Output: (cluster, n_members, inertia, mean_inertia)."""
+    assigned = kmeans_clusters(embeddings, k=k, iters=iters)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("dist2").cast("decimal(38,0)")).alias("inertia_d"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            F.col("inertia_d").cast("decimal(38,0)").alias("inertia"),
+            F.expr(
+                "CAST(inertia_d div CAST(n_members AS decimal(38,0)) AS BIGINT)"
+            ).alias("mean_inertia"),
+        )
+        .withColumn("inertia", F.col("inertia").cast("string"))
+    )
+
+
+def duckdb_kmeans_inertia_sql(
+    table: str = "embeddings", k: int = K_CLUSTERS, iters: int = ITERS
+) -> str:
+    ctes, final = _kmeans_ctes(table, k, iters)
+    return f"""
+    WITH {','.join(ctes)},
+    assigned AS ({final})
+    SELECT cluster, count(*)::BIGINT AS n_members,
+           CAST(sum(dist2::HUGEINT) AS VARCHAR) AS inertia,
+           CAST(sum(dist2::HUGEINT) // count(*) AS BIGINT) AS mean_inertia
+    FROM assigned
+    GROUP BY cluster
+    """

@@ -239,3 +239,52 @@ def test_embedding_outliers_engine_parity(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(s.astype("int64"), d.astype("int64"))
+
+
+# ---------------------------------------------------- k-means inertia
+def test_kmeans_inertia_sums_assignments(spark):
+    """The k-row inertia table must agree with the assignment table it
+    composes: per-cluster count and exact dist2 sum, floor-div mean."""
+    from easyocr_spark.operators import clustering
+
+    vecs = _two_blob_vecs()
+    emb_table = _emb_df(spark, vecs)
+    assigned = clustering.kmeans_clusters(emb_table, k=2, iters=2).toPandas()
+    out = clustering.kmeans_inertia(emb_table, k=2, iters=2).toPandas()
+    assert set(out.cluster) == set(assigned.cluster)
+    for cl, grp in assigned.groupby("cluster"):
+        row = out[out.cluster == cl].iloc[0]
+        assert int(row.n_members) == len(grp)
+        total = int(grp.dist2.astype("int64").astype(object).sum())
+        assert int(row.inertia) == total
+        assert int(row.mean_inertia) == total // len(grp)
+
+
+def test_kmeans_inertia_engine_parity(spark):
+    import duckdb
+
+    from easyocr_spark.operators import clustering
+
+    vecs = _two_blob_vecs()
+    got = (
+        clustering.kmeans_inertia(_emb_df(spark, vecs), k=2, iters=2)
+        .toPandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [list(map(float, v)) for v in vecs.values()],
+        }
+    )
+    con.register("embeddings", pdf)
+    exp = (
+        con.sql(clustering.duckdb_kmeans_inertia_sql(k=2, iters=2))
+        .df()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    for col in ["cluster", "n_members", "inertia", "mean_inertia"]:
+        assert list(got[col]) == list(exp[col]), col
