@@ -486,6 +486,16 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.length_quantiles(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_length_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-bucket length quantiles — the constant-memory 100-TB
+    variant of the exact operator: one map-combining shuffle to a
+    |langs| x |buckets| table, nearest-rank rule on the bucket cumsum;
+    answer brackets the exact percentile within bucket width."""
+    return ta.length_quantiles_hist(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.lang_id(tables.read_table(spark, sf_dir, "documents"))
 
@@ -1047,6 +1057,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_novelty": q_ngram_novelty,
         "inverted_index": q_inverted_index,
         "length_quantiles": q_length_quantiles,
+        "length_quantiles_hist": q_length_quantiles_hist,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "neardup_pagerank": q_neardup_pagerank,
@@ -1227,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": dedup.duckdb_ngram_novelty_sql(mutants),
         "inverted_index": retrieval.duckdb_inverted_index_sql(),
         "length_quantiles": ta.duckdb_length_quantiles_sql(),
+        "length_quantiles_hist": ta.duckdb_length_quantiles_hist_sql(),
         "decontaminate": dedup.duckdb_decontaminate_sql(
             "SELECT * FROM documents"
         ),

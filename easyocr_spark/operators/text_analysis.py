@@ -997,3 +997,89 @@ def duckdb_length_quantiles_sql(table: str = "documents") -> str:
     FROM ranked, UNNEST([{pcts}]) AS t(pct)
     WHERE rn = (pct * n_docs + 99) // 100
     """
+
+
+# --------------------------------- histogram quantiles (the 100-TB path)
+HIST_BUCKET_W = 16  # fixed bucket width in chars
+
+
+def length_quantiles_hist(
+    docs: DataFrame, bucket_w: int = HIST_BUCKET_W
+) -> DataFrame:
+    """Histogram-bucket length quantiles — the CONSTANT-MEMORY variant
+    the exact operator's docstring points at for web scale: instead of
+    a per-lang row_number window over every document (length_quantiles,
+    the audit tool), fold lengths into fixed-width buckets in ONE
+    map-side-combining shuffle whose output is bounded by
+    |langs| x |buckets|, then run the same nearest-rank rule on the
+    bucket cumsum. The answer is the BUCKET holding the exact
+    percentile value — [bucket_lo, bucket_hi_excl) brackets the exact
+    operator's len_at_pct by construction (the containment is
+    pytest-pinned), with error bounded by bucket_w, at any corpus size.
+
+    All integers: bucket = n_chars div bucket_w, rank =
+    (p*n + 99) div 100, cumulative counts via a window over the
+    BOUNDED bucket table only.
+
+    Output: (lang, pct, n_docs, bucket_lo, bucket_hi_excl)."""
+    from pyspark.sql import Window
+
+    hist = (
+        docs.select(
+            "lang", F.expr(f"n_chars div {bucket_w}").alias("b")
+        )
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy("b")
+    cum = hist.select(
+        "lang",
+        "b",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n_docs"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    pcts = F.array(*[F.lit(p) for p in QUANTILE_PCTS])
+    return (
+        cum.select(
+            "lang", "b", "cum", "cum_prev", "n_docs",
+            F.explode(pcts).alias("pct"),
+        )
+        .filter(
+            (F.expr("(pct * n_docs + 99) div 100") > F.col("cum_prev"))
+            & (F.expr("(pct * n_docs + 99) div 100") <= F.col("cum"))
+        )
+        .select(
+            "lang",
+            F.col("pct").cast("long").alias("pct"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("b") * bucket_w).cast("long").alias("bucket_lo"),
+            ((F.col("b") + 1) * bucket_w).cast("long").alias("bucket_hi_excl"),
+        )
+    )
+
+
+def duckdb_length_quantiles_hist_sql(
+    table: str = "documents", bucket_w: int = HIST_BUCKET_W
+) -> str:
+    pcts = ", ".join(str(p) for p in QUANTILE_PCTS)
+    return f"""
+    WITH hist AS (
+      SELECT lang, n_chars // {bucket_w} AS b, count(*)::BIGINT AS cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, b,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n_docs,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY b) - cnt AS cum_prev
+      FROM hist
+    )
+    SELECT lang, CAST(pct AS BIGINT) AS pct,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(b * {bucket_w} AS BIGINT) AS bucket_lo,
+           CAST((b + 1) * {bucket_w} AS BIGINT) AS bucket_hi_excl
+    FROM cum, UNNEST([{pcts}]) AS t(pct)
+    WHERE (pct * n_docs + 99) // 100 > cum_prev
+      AND (pct * n_docs + 99) // 100 <= cum
+    """

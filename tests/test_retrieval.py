@@ -260,3 +260,41 @@ def test_bm25_engine_parity(spark):
     assert len(got) == len(exp) == 15
     for col in ["query", "rank", "doc_id", "n_hit_terms", "score_milli"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+# --------------------------------- histogram quantiles (the 100-TB path)
+def test_hist_quantiles_bracket_exact(spark):
+    """The histogram bucket must CONTAIN the exact nearest-rank value
+    for every (lang, pct) — the approximation contract — and match the
+    DuckDB twin row-for-row."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": ["x"] * 200,
+            "lang": [["en", "de", "fr"][i % 3] for i in range(200)],
+            "source": ["s"] * 200,
+            "n_chars": rng.integers(1, 900, size=200),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    exact = ta.length_quantiles(sdf).toPandas()
+    hist = ta.length_quantiles_hist(sdf).toPandas()
+    assert len(hist) == len(exact)
+    m = exact.merge(hist, on=["lang", "pct", "n_docs"])
+    assert len(m) == len(exact)
+    assert (
+        (m.bucket_lo <= m.len_at_pct) & (m.len_at_pct < m.bucket_hi_excl)
+    ).all()
+    con = _con(pdf)
+    exp = (
+        con.sql(ta.duckdb_length_quantiles_hist_sql())
+        .df()
+        .sort_values(["lang", "pct"])
+        .reset_index(drop=True)
+    )
+    got = hist.sort_values(["lang", "pct"]).reset_index(drop=True)
+    for col in ["lang", "pct", "n_docs", "bucket_lo", "bucket_hi_excl"]:
+        assert list(got[col]) == list(exp[col]), col
