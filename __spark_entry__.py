@@ -529,6 +529,15 @@ def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing.unimax_mix(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization scrub (control strip, zero-width removal,
+    unicode-space fold, whitespace collapse) over per-class dirtied
+    docs — zero-shuffle regex projection, md5-verified output."""
+    return cleaning.normalize_text(
+        tables.read_table(spark, sf_dir, "documents")
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1.1 rule audit: every published predicate as an integer
     milli-unit column + keep verdict + first failing rule, one narrow
@@ -1072,6 +1081,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ccnet_buckets": q_ccnet_buckets,
         "c4_clean": q_c4_clean,
         "gopher_rules": q_gopher_rules,
+        "normalize_text": q_normalize_text,
         "token_stats": q_token_stats,
         "top_ngrams": q_top_ngrams,
         "doc_frequency": q_doc_frequency,
@@ -1260,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": ta.duckdb_ccnet_buckets_sql(),
         "c4_clean": cleaning.duckdb_c4_clean_sql(),
         "gopher_rules": cleaning.duckdb_gopher_rules_sql(),
+        "normalize_text": cleaning.duckdb_normalize_text_sql(),
         "token_stats": ta.duckdb_token_stats_sql(),
         "top_ngrams": ta.duckdb_top_ngrams_sql(),
         "doc_frequency": ta.duckdb_doc_frequency_sql(),

@@ -342,3 +342,106 @@ def duckdb_gopher_rules_sql(table: str = "documents") -> str:
            {first_fail} AS first_fail
     FROM m
     """
+
+
+# ---------------------------------------------------- text normalization
+# the canonical pre-tokenization scrub: control chars out, zero-widths
+# out, unicode spaces folded, whitespace collapsed, edges trimmed
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+ZERO_WIDTH_RE = "[\u200b\u200c\u200d\ufeff]"
+UNICODE_SPACE_RE = "[\u00a0\u2000-\u200a\u3000]"
+
+
+def _normalize_expr(col):
+    x = F.regexp_replace(col, CONTROL_RE, "")
+    x = F.regexp_replace(x, ZERO_WIDTH_RE, "")
+    x = F.regexp_replace(x, UNICODE_SPACE_RE, " ")
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def _dirty(docs: DataFrame) -> DataFrame:
+    """doc_id % 4 plants one dirt class (the corpus is already clean):
+    1 = control chars + tab runs, 2 = zero-width joiners inside a word,
+    3 = NBSP/ideographic spaces, 0 = untouched negative control.
+    Identical in the oracle (chr() arithmetic there)."""
+    injected = (
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("\x01\x02  trailing\t\tcontrol "), F.col("text")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" zero\u200bwidth\u200djoin\ufeff"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 3,
+            F.concat(
+                F.lit("nb\u00a0sp\u3000wide "), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", injected.alias("dirty"))
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Unicode text normalization — the first transform every corpus
+    pipeline runs before tokenization: strip C0/DEL control characters,
+    remove zero-width code points (ZWSP/ZWNJ/ZWJ/BOM — the invisible
+    dedup-breakers), fold unicode spaces (NBSP, en/em spaces,
+    ideographic space) to ASCII space, collapse whitespace runs, trim.
+    One narrow zero-shuffle JVM-regex projection; the normalize body is
+    corpus-agnostic (full NFKC — ligatures, width folding — is a
+    table-driven superset a real deployment adds via a translate map;
+    the classes handled here are the ones that break hashing/dedup).
+
+    Output: (doc_id, changed, n_removed_chars, norm_md5) where
+    n_removed_chars counts characters deleted or folded away and
+    changed flags any difference from the dirty input."""
+    d = _dirty(docs)
+    norm = _normalize_expr(F.col("dirty"))
+    return d.select(
+        "doc_id",
+        (norm != F.col("dirty")).alias("changed"),
+        (F.length("dirty") - F.length(norm)).cast("long").alias(
+            "n_removed_chars"
+        ),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def duckdb_normalize_text_sql(table: str = "documents") -> str:
+    zw = "[\u200b\u200c\u200d\ufeff]"
+    us = "[\u00a0\u2000-\u200a\u3000]"
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "dirty, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),"
+        f" '{zw}', '', 'g'),"
+        f" '{us}', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 1 THEN chr(1) || chr(2) || '  trailing' || chr(9)
+                           || chr(9) || 'control ' || text
+               WHEN 2 THEN text || ' zero' || chr(8203) || 'width'
+                           || chr(8205) || 'join' || chr(65279)
+               WHEN 3 THEN 'nb' || chr(160) || 'sp' || chr(12288)
+                           || 'wide ' || text
+               ELSE text
+             END AS dirty
+      FROM {table}
+    )
+    SELECT doc_id,
+           ({norm} != dirty) AS changed,
+           (length(dirty) - length({norm}))::BIGINT AS n_removed_chars,
+           md5({norm}) AS norm_md5
+    FROM d
+    """

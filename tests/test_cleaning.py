@@ -139,3 +139,71 @@ def test_gopher_short_doc_and_parity(spark):
     )
     for col in got.columns:
         assert list(got[col]) == list(exp[col]), col
+
+
+# ---------------------------------------------------- text normalization
+def test_normalize_text_per_class(spark):
+    """Each dirt class normalizes back to the clean original (the
+    negative control is byte-identical and flags changed=False)."""
+    import hashlib
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta gamma"] * 4,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [16] * 4,
+        }
+    )
+    out = (
+        cleaning.normalize_text(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # class 0: untouched
+    assert not bool(out.loc[0, "changed"])
+    assert out.loc[0, "n_removed_chars"] == 0
+    # class 1: controls+tabs stripped -> 'trailing control alpha beta gamma'
+    assert bool(out.loc[1, "changed"])
+    assert out.loc[1, "norm_md5"] == hashlib.md5(
+        b"trailing control alpha beta gamma"
+    ).hexdigest()
+    # class 2: zero-widths removed INSIDE the word -> 'zerowidthjoin'
+    assert out.loc[2, "norm_md5"] == hashlib.md5(
+        b"alpha beta gamma zerowidthjoin"
+    ).hexdigest()
+    assert out.loc[2, "n_removed_chars"] == 3
+    # class 3: NBSP/ideographic spaces fold to ASCII space
+    assert out.loc[3, "norm_md5"] == hashlib.md5(
+        b"nb sp wide alpha beta gamma"
+    ).hexdigest()
+
+
+def test_normalize_text_engine_parity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [f"tok{i} alpha beta" for i in range(20)],
+            "lang": ["en"] * 20,
+            "source": ["s"] * 20,
+            "n_chars": [0] * 20,
+        }
+    )
+    got = (
+        cleaning.normalize_text(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(cleaning.duckdb_normalize_text_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in got.columns:
+        assert list(got[col]) == list(exp[col]), col
