@@ -590,6 +590,13 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece character-coverage table (0.9995 cutoff decides
+    the tokenizer's base alphabet): one char-stream shuffle, rank and
+    cumulative-ppm windows on the bounded alphabet table."""
+    return bpe.char_coverage(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 split + epoch-shard assignment (the
     reproducible hash-ordered 'global shuffle')."""
@@ -1090,6 +1097,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "bpe_encode": q_bpe_encode,
+        "char_coverage": q_char_coverage,
         "train_split_shards": q_train_split_shards,
         "shard_leakage": q_shard_leakage,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
@@ -1279,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": bpe.duckdb_bpe_merges_sql(),
         "bpe_segment": bpe.duckdb_bpe_segment_sql(),
         "bpe_encode": bpe.duckdb_bpe_encode_sql(),
+        "char_coverage": bpe.duckdb_char_coverage_sql(),
         "train_split_shards": sharding.duckdb_split_shards_sql(),
         "shard_leakage": sharding.duckdb_shard_leakage_sql(
             dedup.duckdb_contamination_augment_sql()

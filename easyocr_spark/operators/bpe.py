@@ -336,3 +336,81 @@ def duckdb_bpe_encode_sql(table: str = "documents", merges: int = BPE_MERGES) ->
            sum(n_syms)::BIGINT AS n_bpe_tokens
     FROM doc_words JOIN vocab_len USING (word)
     GROUP BY doc_id"""
+
+
+# ------------------------------------------------ character coverage
+COVERAGE_CUTOFF_PPM = 999_500  # SentencePiece's 0.9995 character_coverage
+
+
+def char_coverage(docs: DataFrame) -> DataFrame:
+    """SentencePiece-style CHARACTER COVERAGE table — the statistic that
+    fixes a tokenizer's base alphabet (characters inside the coverage
+    cutoff become vocabulary atoms; the long tail maps to <unk>/bytes).
+    For every character of the lowered corpus: count, frequency rank
+    (count desc, char asc — deterministic), cumulative coverage in ppm,
+    and whether it falls inside the 0.9995 cutoff.
+
+    in_alphabet is decided on the PREVIOUS character's cumulative ppm
+    (a character is included while coverage is still below the cutoff —
+    so the character that crosses the line is the last one in), which
+    keeps the rule exact under floor-ppm arithmetic in both engines.
+
+    Plan: one map-side-combining shuffle over the exploded char stream
+    (split('') — one O(n) pass per doc); rank/cumsum windows run on the
+    BOUNDED alphabet table (|distinct chars|, dozens here, ~1e4 for
+    CJK). Output: (ch, cnt, rank, cum_ppm, in_alphabet)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("ch").asc())
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "ch",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return ranked.select(
+        "ch",
+        "cnt",
+        F.col("rank").cast("int").alias("rank"),
+        F.expr("(cum * 1000000) div total").alias("cum_ppm"),
+        (
+            F.expr("((cum - cnt) * 1000000) div total")
+            < COVERAGE_CUTOFF_PPM
+        ).alias("in_alphabet"),
+    )
+
+
+def duckdb_char_coverage_sql(table: str = "documents") -> str:
+    return f"""
+    WITH counts AS (
+      -- substring-per-position, the established char twin (DuckDB's
+      -- string_split('') semantics differ from Spark's split(''))
+      SELECT ch, count(*)::BIGINT AS cnt
+      FROM (SELECT substring(lower(text), CAST(i AS INT), 1) AS ch
+            FROM {table},
+                 UNNEST(range(1, length(text) + 1)) AS t(i))
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ch, cnt,
+             row_number() OVER (ORDER BY cnt DESC, ch ASC) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, ch ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT ch, cnt, CAST(rank AS INT) AS rank,
+           CAST((cum * 1000000) // total AS BIGINT) AS cum_ppm,
+           (((cum - cnt) * 1000000) // total < {COVERAGE_CUTOFF_PPM})
+             AS in_alphabet
+    FROM ranked
+    """

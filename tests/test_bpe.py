@@ -147,3 +147,60 @@ def test_engine_parity_ties_and_runs(spark):
         ["ab ab cd cd aaab", "Cd AB 42 aaab x-y!"],
         merges=3,
     )
+
+
+# ------------------------------------------------ character coverage
+def test_char_coverage_hand_case(spark):
+    """'aaab bc' style corpus: exact ranks, cum ppm, and the cutoff rule
+    'include while previous coverage is below 0.9995' — the crossing
+    character is in, everything after is out."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            # counts: a=3000, b=2, c=1 (space=0 because 'aaa..' one word)
+            "text": ["a" * 3000 + "b" * 2 + "c"],
+        }
+    )
+    out = (
+        bpe.char_coverage(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("ch")
+    )
+    total = 3003
+    assert out.loc["a", "rank"] == 1
+    assert out.loc["a", "cum_ppm"] == 3000 * 1_000_000 // total
+    # 'a' enters at prev=0; 'b' enters at prev=998501... < 999500 -> in;
+    # 'c' prev = 3002*1e6//3003 = 999667 >= 999500 -> out
+    assert bool(out.loc["a", "in_alphabet"])
+    assert bool(out.loc["b", "in_alphabet"])
+    assert not bool(out.loc["c", "in_alphabet"])
+
+
+def test_char_coverage_engine_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(15),
+            "text": [f"spark row batch {i} zz" for i in range(15)],
+        }
+    )
+    got = (
+        bpe.char_coverage(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(bpe.duckdb_char_coverage_sql())
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    for col in ["ch", "cnt", "rank", "cum_ppm", "in_alphabet"]:
+        assert list(got[col]) == list(exp[col]), col
