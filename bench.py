@@ -73,6 +73,7 @@ def is_suspect(walls: list[float], record: float | None, guard: float) -> bool:
 def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
+    from easyocr_spark.operators import bpe as bpe_mod
     from easyocr_spark.operators import (
         cleaning,
         clustering,
@@ -241,6 +242,11 @@ def run_bench(cpus: int | None = None, sf_dir: str | None = None) -> dict:
     ))
     timed("html_extract", lambda: web_extract.html_extract(flat_docs))
     timed("layout_reading_order", lambda: web_extract.layout_reading_order(
+        flat_docs
+    ))
+    timed("normalize_text", lambda: cleaning.normalize_text(flat_docs))
+    timed("char_coverage", lambda: bpe_mod.char_coverage(flat_docs))
+    timed("length_quantiles_hist", lambda: ta.length_quantiles_hist(
         flat_docs
     ))
 

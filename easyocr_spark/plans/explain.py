@@ -25,6 +25,7 @@ def capture_plan(df) -> str:
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     from .. import session
+    from ..operators import bpe
     from ..operators import (
         cleaning,
         clustering,
@@ -185,6 +186,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         ),
         "layout_reading_order (per-page column windows + per-doc sort)": (
             web_extract.layout_reading_order(flat)
+        ),
+        "normalize_text (zero-Exchange regex scrub)": (
+            cleaning.normalize_text(flat)
+        ),
+        "char_coverage (one char shuffle; bounded alphabet windows)": (
+            bpe.char_coverage(flat)
+        ),
+        "length_quantiles_hist (bounded lang x bucket cumsum)": (
+            ta.length_quantiles_hist(flat)
         ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
