@@ -605,6 +605,14 @@ def q_train_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware group-holdout split (the prevention counterpart
+    to shard_leakage): split key = near-dup component id, so clusters
+    never straddle train/test; one bounded left join on top of the
+    verified component build."""
+    return sharding.grouped_split(_mutated(spark, sf_dir))
+
+
 def q_shard_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage audit over the pipeline's OWN train/val/test
     boundary (decontaminate audits an external benchmark): per held-out
@@ -1100,6 +1108,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "char_coverage": q_char_coverage,
         "train_split_shards": q_train_split_shards,
         "shard_leakage": q_shard_leakage,
+        "grouped_split": q_grouped_split,
         "countmin_heavy_hitters": q_countmin_heavy_hitters,
         "bloom_membership": q_bloom_membership,
         "pii_scan": q_pii_scan,
@@ -1292,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_leakage": sharding.duckdb_shard_leakage_sql(
             dedup.duckdb_contamination_augment_sql()
         ),
+        "grouped_split": sharding.duckdb_grouped_split_sql(mutants),
         "countmin_heavy_hitters": sketches.duckdb_countmin_sql(),
         "bloom_membership": sketches.duckdb_bloom_sql(),
         "pii_scan": pii.duckdb_pii_sql(),

@@ -228,3 +228,65 @@ def duckdb_shard_leakage_sql(table_sql: str, n: int | None = None) -> str:
     LEFT JOIN totals t USING (split)
     LEFT JOIN leaked l USING (split)
     """
+
+
+def grouped_split(docs: DataFrame) -> DataFrame:
+    """Near-dup-aware GROUP-HOLDOUT split — the prevention counterpart
+    to shard_leakage's detection: near-duplicate documents must never
+    straddle train/test (a held-out doc whose near-copy sits in train
+    is leaked eval signal), so the split key is the near-dup COMPONENT
+    id, not the doc id — every member of a cluster draws the same
+    split; docs with no near-dup draw on their own id as before.
+
+    Same LCG split rule and 90/5/5 thresholds as train_split_shards,
+    applied to group_key = coalesce(component_id, doc_id); the
+    component table comes from the verified MinHash+LSH star
+    contraction (dedup.dedup_components). Plan: the component build's
+    own shuffles plus ONE doc_id-keyed left join whose right side is
+    bounded by the documents that participate in a near-dup pair (the
+    dup fraction of the corpus) — AQE sizes it; the split itself stays
+    a shuffle-free projection.
+
+    Output: (doc_id, group_key, n_members, split)."""
+    from easyocr_spark.operators import dedup
+
+    comps = dedup.dedup_components(docs).select(
+        "doc_id", "component_id", "n_members"
+    )
+    gk = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    b = (gk * S_MULT_1 + S_INC_1) % SAMPLE_MOD % 100
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            gk.cast("long").alias("group_key"),
+            F.coalesce("n_members", F.lit(1)).cast("long").alias(
+                "n_members"
+            ),
+            split.alias("split"),
+        )
+    )
+
+
+def duckdb_grouped_split_sql(table_sql: str) -> str:
+    from easyocr_spark.operators import dedup
+
+    gk = "coalesce(c.component_id, b.doc_id)"
+    lcg = f"(({gk} * {S_MULT_1} + {S_INC_1}) % {SAMPLE_MOD}) % 100"
+    return f"""
+    WITH base AS (SELECT doc_id FROM ({table_sql})),
+    comps AS ({dedup.duckdb_components_sql(table_sql)})
+    SELECT b.doc_id,
+           CAST({gk} AS BIGINT) AS group_key,
+           CAST(coalesce(c.n_members, 1) AS BIGINT) AS n_members,
+           CASE WHEN {lcg} < {TRAIN_PCT} THEN 'train'
+                WHEN {lcg} < {VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM base b LEFT JOIN comps c USING (doc_id)
+    """

@@ -69,3 +69,73 @@ def test_shard_leakage_counts_cross_split_grams(spark):
     res.unpersist()
     assert out.loc["val"].tolist() == [1, 8, 3, 375]
     assert out.loc["test"].tolist() == [1, 6, 0, 0]
+
+
+# ------------------------------------------------ group-holdout split
+def test_grouped_split_never_straddles(spark):
+    """Every near-dup cluster lands in exactly one split; singletons
+    draw the same split train_split_shards' rule would give their own
+    id (group_key == doc_id)."""
+    import pandas as pd
+
+    from easyocr_spark.operators import dedup, sharding
+
+    base = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                " ".join(f"w{(i * 11 + j) % 53}" for j in range(25))
+                for i in range(40)
+            ],
+        }
+    )
+    aug = dedup.with_mutants(spark.createDataFrame(base))
+    out = sharding.grouped_split(aug).toPandas()
+    assert len(out) == aug.count()
+    # clusters (n_members > 1) are single-split by construction
+    clustered = out[out.n_members > 1]
+    assert len(clustered) > 0, "mutants should form clusters"
+    for gk, grp in clustered.groupby("group_key"):
+        assert grp.split.nunique() == 1, gk
+    # singletons: group_key is their own id
+    singles = out[out.n_members == 1]
+    assert (singles.group_key == singles.doc_id).all()
+    assert set(out.split) <= {"train", "val", "test"}
+
+
+def test_grouped_split_engine_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from easyocr_spark.operators import dedup, sharding
+
+    base = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [
+                " ".join(f"w{(i * 7 + j) % 41}" for j in range(20))
+                for i in range(30)
+            ],
+        }
+    )
+    aug = dedup.with_mutants(spark.createDataFrame(base))
+    got = (
+        sharding.grouped_split(aug)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", base)
+    exp = (
+        con.sql(
+            sharding.duckdb_grouped_split_sql(
+                dedup.duckdb_with_mutants_sql()
+            )
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ["doc_id", "group_key", "n_members", "split"]:
+        assert list(got[col]) == list(exp[col]), col
