@@ -196,6 +196,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "length_quantiles_hist (bounded lang x bucket cumsum)": (
             ta.length_quantiles_hist(flat)
         ),
+        "grouped_split (component-keyed split; bounded dup-side join)": (
+            sharding.grouped_split(dedup.with_mutants(flat))
+        ),
     }
     # the 100-TB join shapes: the same flagship with broadcast disabled
     # (results join-back + media join degrade to shuffle joins) and with
