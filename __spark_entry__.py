@@ -650,6 +650,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste audit of the sequence_pack manifest: per shard,
+    sequences / real tokens / capacity / waste ppm — proves the
+    concat-and-chunk waste bound (< seq_len per shard). One bounded
+    rollup shuffle over the manifest."""
+    return ta.packing_efficiency(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline END PRODUCT: one keep/drop decision per document
     with an auditable first-match reason (eval_holdout > duplicate >
@@ -1122,6 +1130,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "repetition_signals": q_repetition_signals,
         "doc_fingerprint": q_doc_fingerprint,
         "sequence_pack": q_sequence_pack,
+        "packing_efficiency": q_packing_efficiency,
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
@@ -1315,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": ta.duckdb_repetition_sql(),
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "sequence_pack": ta.duckdb_sequence_pack_sql(),
+        "packing_efficiency": ta.duckdb_packing_efficiency_sql(),
         "source_jsonl_roundtrip": (
             "SELECT doc_id, md5(text) AS text_md5, "
             "CAST(length(text) AS INT) AS n_chars FROM documents"

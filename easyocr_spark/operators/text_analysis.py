@@ -1083,3 +1083,63 @@ def duckdb_length_quantiles_hist_sql(
     WHERE (pct * n_docs + 99) // 100 > cum_prev
       AND (pct * n_docs + 99) // 100 <= cum
     """
+
+
+# ------------------------------------------------ packing efficiency
+def packing_efficiency(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Packing-waste audit of the sequence_pack manifest — the number a
+    training team actually watches (padding waste is paid GPU time):
+    per shard, how many sequences were emitted, how many real tokens
+    they carry, the shard's capacity (n_seqs x seq_len), and the waste
+    in ppm. With concat-and-chunk packing the only waste is each
+    shard's final partial sequence, so waste < seq_len per shard by
+    construction — the audit proves the packer achieves that bound
+    (best-fit bin packing would trade this bound for sequential state).
+
+    One map-side-combining rollup over the manifest (bounded output:
+    n_shards rows); integer ppm via floor division.
+
+    Output: (shard, n_seqs, n_tokens, capacity, waste_ppm)."""
+    manifest = sequence_pack(docs, seq_len=seq_len, n_shards=n_shards)
+    return (
+        manifest.groupBy("shard")
+        .agg(
+            F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+            F.sum(
+                F.col("doc_tok_end_excl") - F.col("doc_tok_start")
+            ).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "n_seqs",
+            "n_tokens",
+            (F.col("n_seqs") * seq_len).cast("long").alias("capacity"),
+            F.expr(
+                f"((n_seqs * {seq_len} - n_tokens) * 1000000)"
+                f" div (n_seqs * {seq_len})"
+            ).alias("waste_ppm"),
+        )
+    )
+
+
+def duckdb_packing_efficiency_sql(
+    table: str = "documents",
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_SHARDS,
+) -> str:
+    pack = duckdb_sequence_pack_sql(table, seq_len, n_shards)
+    return f"""
+    WITH manifest AS ({pack})
+    SELECT shard,
+           count(DISTINCT seq_id)::BIGINT AS n_seqs,
+           sum(doc_tok_end_excl - doc_tok_start)::BIGINT AS n_tokens,
+           (count(DISTINCT seq_id) * {seq_len})::BIGINT AS capacity,
+           CAST(((count(DISTINCT seq_id) * {seq_len}
+                  - sum(doc_tok_end_excl - doc_tok_start)) * 1000000)
+                // (count(DISTINCT seq_id) * {seq_len}) AS BIGINT)
+             AS waste_ppm
+    FROM manifest
+    GROUP BY shard
+    """

@@ -337,3 +337,46 @@ def test_ccnet_buckets_value_ties_and_parity(spark):
     e = exp.sort_values("doc_id").reset_index(drop=True)
     for col in ["doc_id", "lang", "avg_milli_bits", "bucket"]:
         assert list(g[col]) == list(e[col]), col
+
+
+# ------------------------------------------------ packing efficiency
+def test_packing_efficiency_waste_bound_and_parity(spark):
+    """Waste equals exactly the final partial sequence per shard
+    (< seq_len), capacity and token counts reconcile with the
+    manifest, and the DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(24),
+            "text": [
+                " ".join(f"w{j}" for j in range(5 + (i * 9) % 40))
+                for i in range(24)
+            ],
+            "lang": ["en"] * 24,
+            "source": ["s"] * 24,
+            "n_chars": [0] * 24,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = ta.packing_efficiency(sdf).toPandas()
+    man = ta.sequence_pack(sdf).toPandas()
+    for shard, grp in man.groupby("shard"):
+        row = out[out.shard == shard].iloc[0]
+        toks = int((grp.doc_tok_end_excl - grp.doc_tok_start).sum())
+        assert int(row.n_tokens) == toks
+        assert int(row.n_seqs) == grp.seq_id.nunique()
+        waste = int(row.capacity) - toks
+        assert 0 <= waste < ta.PACK_SEQ_LEN
+        assert int(row.waste_ppm) == waste * 1_000_000 // int(row.capacity)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(ta.duckdb_packing_efficiency_sql())
+        .df()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("shard").reset_index(drop=True)
+    for col in ["shard", "n_seqs", "n_tokens", "capacity", "waste_ppm"]:
+        assert list(got[col]) == list(exp[col]), col
