@@ -650,6 +650,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(tables.read_table(spark, sf_dir, "documents"))
 
 
+def q_max_token_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive repeated-token run per doc (degenerate-
+    repetition detector): packed-int64 left fold over token hashes,
+    identical bit arithmetic in both engines — zero shuffles."""
+    return ta.max_token_run(tables.read_table(spark, sf_dir, "documents"))
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-waste audit of the sequence_pack manifest: per shard,
     sequences / real tokens / capacity / waste ppm — proves the
@@ -1131,6 +1138,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "doc_fingerprint": q_doc_fingerprint,
         "sequence_pack": q_sequence_pack,
         "packing_efficiency": q_packing_efficiency,
+        "max_token_run": q_max_token_run,
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
@@ -1325,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ta.duckdb_fingerprint_sql(),
         "sequence_pack": ta.duckdb_sequence_pack_sql(),
         "packing_efficiency": ta.duckdb_packing_efficiency_sql(),
+        "max_token_run": ta.duckdb_max_token_run_sql(),
         "source_jsonl_roundtrip": (
             "SELECT doc_id, md5(text) AS text_md5, "
             "CAST(length(text) AS INT) AS n_chars FROM documents"

@@ -1143,3 +1143,88 @@ def duckdb_packing_efficiency_sql(
     FROM manifest
     GROUP BY shard
     """
+
+
+# ------------------------------------------------ max token-run detector
+RUN_CAP = 1023  # runs clamp into 10 bits of the packed accumulator
+
+
+def max_token_run(docs: DataFrame) -> DataFrame:
+    """Longest CONSECUTIVE repeated-token run per document — the
+    degenerate-repetition detector (looping generations and keyboard
+    spam produce 'word word word ...' that the Gopher duplicate-token
+    FRACTION can miss when the doc is long; a run threshold catches it
+    regardless of doc length).
+
+    Engine-portable single fold: token poly-hashes fold left with a
+    PACKED int64 accumulator — prev_hash·2^20 | cur_run·2^10 | best_run
+    (hash is 31-bit, runs clamp at RUN_CAP, so the accumulator stays
+    under 2^51) — because DuckDB's list_reduce requires the accumulator
+    to be a scalar of the element type; identical bit arithmetic runs
+    in Spark's F.aggregate. Narrow zero-shuffle projection.
+
+    Output: (doc_id, n_tokens, max_run)."""
+    staged = docs.select(
+        "doc_id",
+        F.transform(
+            tokens_col(F.col("text")),
+            lambda t: F.aggregate(
+                F.transform(F.split(t, ""), F.ascii),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+            ),
+        ).alias("hs"),
+    )
+    P20, P10 = 1 << 20, 1 << 10
+
+    def step(acc, h):
+        prev = F.floor(acc / P20).cast("long")
+        cur = F.floor(acc / P10).cast("long") % P10
+        best = acc % P10
+        new_cur = F.least(
+            F.when(h == prev, cur + 1).otherwise(F.lit(1)),
+            F.lit(RUN_CAP),
+        )
+        new_best = F.greatest(best, new_cur)
+        return h * P20 + new_cur * P10 + new_best
+
+    packed = F.aggregate(
+        F.col("hs"), F.lit(0).cast("long"), step
+    )
+    return staged.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_tokens"),
+        (packed % P10).cast("long").alias("max_run"),
+    )
+
+
+def duckdb_max_token_run_sql(table: str = "documents") -> str:
+    tok_hash = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, length(t)+1), "
+        "i -> ascii(substring(t, CAST(i AS INT), 1))::BIGINT)), "
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+    )
+    p20, p10 = 1 << 20, 1 << 10
+    step = (
+        f"(x * {p20}"
+        f" + least(CASE WHEN x = acc // {p20}"
+        f"          THEN (acc // {p10}) % {p10} + 1 ELSE 1 END, {RUN_CAP})"
+        f" * {p10}"
+        f" + greatest(acc % {p10},"
+        f"   least(CASE WHEN x = acc // {p20}"
+        f"          THEN (acc // {p10}) % {p10} + 1 ELSE 1 END, {RUN_CAP})))"
+    )
+    return f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> {tok_hash}) AS hs
+      FROM {table}
+    )
+    SELECT doc_id,
+           len(hs)::BIGINT AS n_tokens,
+           (list_reduce(list_prepend(0::BIGINT, hs),
+                        (acc, x) -> {step}) % {p10})::BIGINT AS max_run
+    FROM hs
+    """

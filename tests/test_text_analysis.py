@@ -380,3 +380,43 @@ def test_packing_efficiency_waste_bound_and_parity(spark):
     got = out.sort_values("shard").reset_index(drop=True)
     for col in ["shard", "n_seqs", "n_tokens", "capacity", "waste_ppm"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+# ------------------------------------------------ max token-run detector
+def test_max_token_run_exact_and_parity(spark):
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b b b c b b",        # best run: b x3
+                "spam spam spam spam",  # whole doc one run x4
+                "x y z",                # no repeats -> 1
+                "k",                    # single token -> 1
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    out = (
+        ta.max_token_run(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "max_run"] == 3
+    assert out.loc[2, "max_run"] == 4
+    assert out.loc[3, "max_run"] == 1
+    assert out.loc[4, "max_run"] == 1
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(ta.duckdb_max_token_run_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = out.reset_index().sort_values("doc_id").reset_index(drop=True)
+    for col in ["doc_id", "n_tokens", "max_run"]:
+        assert list(got[col]) == list(exp[col]), col
