@@ -1054,8 +1054,48 @@ def _with_conf(fn):
     return wrapped
 
 
+# Driver-sweep rotation (round 6, verdict Next #1): the external driver
+# records correctness rows for the FIRST 50 registry entries only, and
+# across rounds 1-5 33 queries never received a driver-recorded oracle
+# row. Registry ITERATION ORDER therefore leads with (a) the flagship
+# extract pair as sentinels, (b) those 33 never-driver-recorded
+# queries, then (c) the 15 queries whose last driver record predates
+# round 5 — exactly 50 slots, so this round's sweep covers the
+# never-verified set. Every entry's callable and oracle SQL are
+# unchanged; only dict order moved (queries() and oracle_sql() share
+# the rotation so the pairing is order-independent either way).
+_SWEEP_FIRST = [
+    # (a) flagship sentinels
+    "extract_spans", "extract_documents_text",
+    # (b) never driver-recorded through round 5
+    "c4_clean", "gopher_rules", "normalize_text", "tfidf_top_terms",
+    "bm25_topk", "bpe_merges", "bpe_segment", "bpe_encode",
+    "char_coverage", "train_split_shards", "shard_leakage",
+    "grouped_split", "countmin_heavy_hitters", "bloom_membership",
+    "pii_scan", "corpus_mix", "unimax_mix", "dsir_importance",
+    "profile_documents", "reservoir_sample", "chunk_overlap",
+    "sequence_pack", "packing_efficiency", "max_token_run",
+    "source_jsonl_roundtrip", "hard_negatives", "kmeans_clusters",
+    "kmeans_inertia", "embedding_outliers", "semantic_dedup",
+    "streaming_extract", "streaming_distinct_hll",
+    "streaming_sequence_pack",
+    # (c) last driver-recorded before round 5
+    "token_stats", "top_ngrams", "doc_frequency", "stratified_sample",
+    "repetition_signals", "doc_fingerprint", "knn_brute", "knn_lsh",
+    "knn_ivf", "knn_pq", "embedding_neardup", "events_sessionize",
+    "events_windowed", "events_top_types", "events_asof",
+]
+
+
+def _rotated(d: dict) -> dict:
+    ordered = [n for n in _SWEEP_FIRST if n in d] + [
+        n for n in d if n not in _SWEEP_FIRST
+    ]
+    return {n: d[n] for n in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _with_conf(fn) for name, fn in _QUERIES.items()}
+    return _rotated({name: _with_conf(fn) for name, fn in _QUERIES.items()})
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1182,7 +1222,7 @@ def oracle_sql() -> dict[str, str]:
     gt = corpus.duckdb_gt_from_ref("media_ref")
     mutants = dedup.duckdb_with_mutants_sql()
     wexpr, hexpr = corpus.duckdb_dims_exprs("media_ref")
-    return {
+    return _rotated({
         "interleave_spans": f"SELECT doc_id, pos, \"offset\", kind, text, media_ref FROM ({flat})",
         "extract_spans": f"""
             SELECT doc_id, "offset", kind,
@@ -1367,4 +1407,4 @@ def oracle_sql() -> dict[str, str]:
                    media_ref
             FROM ({flat})
         """,
-    }
+    })

@@ -230,9 +230,11 @@ def _minh_signatures(shingles: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """One MinHash signature row per doc: n_perm min-aggregated
     xxhash64 permutations over the shingle set (shared by the
     self-join dedup path and the cross-snapshot path)."""
+    # one F.expr per permutation (single py4j call each; the Column
+    # chain cost ~4 calls per permutation of driver-side build time)
     return shingles.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("shingle", F.lit(p))).alias(f"h{p}")
+            F.expr(f"min(xxhash64(shingle, {p})) AS h{p}")
             for p in range(n_perm)
         ]
     )
@@ -245,17 +247,18 @@ def _band_explode(
     keys of n_perm/n_bands rows each — equal band keys are the LSH
     candidate signal."""
     rows_per_band = n_perm // n_bands
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.col(f"h{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
+    band_keys = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "xxhash64(%d, %s)"
+            % (
+                b,
+                ", ".join(
+                    f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+                ),
             )
             for b in range(n_bands)
-        ]
+        )
     )
     return minh.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
@@ -554,10 +557,17 @@ def _simhash_signatures_n(
     # extraction + K polynomial folds) runs once per DISTINCT token,
     # not once per occurrence — natural text is Zipfian, so the
     # dictionary is orders of magnitude smaller than the token stream.
-    # Broadcast fits any sane vocabulary (10^7 tokens ~ a few hundred
-    # MB); beyond that, drop the broadcast hint and this becomes a
+    # The dictionary join is left to AQE's runtime size check (the
+    # strip_boilerplate/dedup_keeplist discipline): the dictionary here
+    # is the DISTINCT WHITESPACE TOKENS OF A RAW WEB CORPUS, which at
+    # 100 TB includes URLs, hex ids, and typos and lands at 10^9+ rows
+    # — far past any broadcastable size, so a forced broadcast hint
+    # would bypass the size check and OOM the driver exactly where the
+    # operator is supposed to shine. AQE still broadcasts it when the
+    # measured size is small (every test corpus); otherwise it picks a
     # shuffled equi-join on the token, still beating per-occurrence
-    # hashing.
+    # hashing (shuffle-path parity is pytest-enforced under
+    # autoBroadcastJoinThreshold=-1, tests/test_dedup_similarity.py).
     # split('') is one O(n) pass per token; the indexed
     # substring-per-char extraction is O(n^2) (UTF8String.substring
     # rescans from the start per index) — same codes, same hashes
@@ -572,27 +582,32 @@ def _simhash_signatures_n(
             for h, base in enumerate(bases, start=1)
         ],
     )
-    hashed = tf.join(F.broadcast(tok_hashes), "token").drop("token")
+    hashed = tf.join(tok_hashes, "token").drop("token")
+    # the 31*K bit-sum aggregates and the K bit-reassembly columns are
+    # parsed as ONE SQL string each (single py4j round trip) instead of
+    # the per-term Column-builder chains: identical expressions, but
+    # the former construction cost ~10 py4j calls per bit — ~0.5s of
+    # driver-only plan-build wall on the 124-bit signature (the kmeans
+    # literal pathology, measured in that operator)
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                (
-                    F.shiftright(F.col(f"t{h}"), j).bitwiseAND(F.lit(1)) * 2 - 1
-                )
-                * F.col("cnt")
-            ).alias(f"b{h}_{j}")
+            F.expr(
+                f"sum(((shiftright(t{h}, {j}) & 1) * 2 - 1) * cnt)"
+                f" AS b{h}_{j}"
+            )
             for h in range(1, len(bases) + 1)
             for j in range(31)
         ]
     )
     sims = [
-        sum(
-            [
-                F.when(F.col(f"b{h}_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        F.expr(
+            "CAST("
+            + " + ".join(
+                f"(CASE WHEN b{h}_{j} > 0 THEN {2 ** j} ELSE 0 END)"
                 for j in range(31)
-            ],
-            F.lit(0),
-        ).cast("long").alias(f"sim{h}")
+            )
+            + f" AS BIGINT) AS sim{h}"
+        )
         for h in range(1, len(bases) + 1)
     ]
     sig = bit_sums.select("doc_id", *sims)
@@ -885,8 +900,16 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     gives 62 bits: cross-engine-exact (DuckDB reproduces the folds
     bit-for-bit) and collision-safe far past 10^9 windows (birthday
     bound ~1e-9 per 1e5-window corpus; at 10^12+ windows widen to a
-    third base the same way SimHash-124 extends SimHash-62)."""
-    pos_grams = _pos_grams(docs, n)
+    third base the same way SimHash-124 extends SimHash-62).
+
+    The gram table feeds BOTH the df count and the position join-back;
+    it is persisted so tokenize+hash runs ONCE (measured ~25% of this
+    query's wall at sf0.1 — the stage is the expensive one), with the
+    minhash ownership discipline: the (tiny) merged-span result is
+    materialized eagerly and the gram cache released before return."""
+    from pyspark import StorageLevel
+
+    pos_grams = _pos_grams(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     shared = (
         pos_grams.groupBy("g1", "g2")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -894,7 +917,10 @@ def duplicate_spans(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
         .select("g1", "g2")
     )
     hits = pos_grams.join(shared, ["g1", "g2"]).select("doc_id", "pos")
-    return _windows_to_spans(hits, n)
+    spans = _windows_to_spans(hits, n).persist(StorageLevel.MEMORY_AND_DISK)
+    spans.count()
+    pos_grams.unpersist()
+    return spans
 
 
 def _windows_to_spans(hits: DataFrame, n: int) -> DataFrame:
@@ -1684,7 +1710,17 @@ def neardup_pagerank(
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    out = _pagerank(edges, iters)
+    # scale-adaptive iteration partitioning (guide §2): the verified
+    # pair table is already materialized, so its row count is free;
+    # size the edge partitions from it instead of inheriting the
+    # corpus-sized layout (64 near-empty partitions here meant every
+    # one of the 5 iteration jobs scheduled 64 tasks to move a few
+    # hundred rows — measured ~2x the whole query's wall). ~50k edges
+    # per partition keeps a billion-edge graph at cluster-friendly
+    # widths while a small graph iterates in single-task jobs.
+    n_edges = 2 * pairs.count()  # instant: pairs is persisted+counted
+    target = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
+    out = _pagerank(edges.coalesce(target), iters)
     # _pagerank's result is localCheckpointed (self-contained — no
     # lineage back to the pair table), so the minhash pair cache can
     # be released here; the rename is a narrow projection over the

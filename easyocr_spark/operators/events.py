@@ -276,7 +276,12 @@ def hll_fold(regs: DataFrame, keys: list[str]) -> DataFrame:
     constants). Registers are MERGEABLE by max, so this same fold
     finalizes batch registers, streaming state emissions, or unions of
     per-day register tables."""
-    ln_arr = F.array(*[F.lit(v) for v in _HLL_LN_SCALED])
+    # one JVM-side parse for the 513-entry literal table: the former
+    # per-element F.lit chain cost ~5 py4j round trips per entry of
+    # pure driver-side plan-build time (the kmeans literal pathology)
+    ln_arr = F.expr(
+        "array(%s)" % ", ".join(str(int(v)) for v in _HLL_LN_SCALED)
+    )
     folded = (
         regs.groupBy(*keys)
         .agg(

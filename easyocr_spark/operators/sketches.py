@@ -244,7 +244,10 @@ def bloom_membership(
         .collect()
     ):
         bits[int(r["pos"])] = 1
-    bloom_bits = F.array(*[F.lit(b) for b in bits])
+    # single JVM-side parse for the m-bit literal bitmap — the
+    # per-element F.lit chain cost ~5 py4j round trips per bit (m=1024:
+    # ~0.4s of driver-only plan-build per call, the kmeans pathology)
+    bloom_bits = F.expr("array(%s)" % ", ".join(str(int(b)) for b in bits))
     ref_md5 = hashed.filter(is_ref).select("text_md5").distinct()
     return (
         hashed.join(

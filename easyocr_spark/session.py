@@ -65,12 +65,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # measured trade-off: reuse=true makes RE-used workers stall
-        # (2nd run of the same UDF stage goes 34s -> 81s with 72% idle
-        # CPU); reuse=false pays ~0.3 core-s import tax per task, which
-        # at 2x-parallelism partition counts is <1s per stage. Fresh
-        # workers win for batch pipelines with heavy per-task payloads.
-        .config("spark.python.worker.reuse", "false")
+        # re-measured this round (4 repeated flagship runs each way,
+        # idle box): reuse=true 3.6/3.6/3.2/3.2s vs reuse=false
+        # 6.4/5.1/4.5/4.5s, and NO re-run stall (the r2-era 34s->81s
+        # pathology does not reproduce on Spark 4.1 — likely fixed by
+        # the same-round OMP single-thread pinning below). Reused
+        # workers keep imports AND the module-level reader singleton
+        # (ocr/udfs._READERS) across tasks, which is the intended
+        # executor-resident-model design; fresh workers paid the
+        # import + atlas tax once per task.
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

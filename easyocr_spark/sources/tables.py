@@ -37,8 +37,80 @@ TABLES = [
 CACHE_ROOT = os.environ.get("EASYOCR_SPARK_CACHE", "/tmp/easyocr_spark_cache")
 
 
+def _input_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory (0 if
+    unreadable — caller treats that as 'do not touch the scan')."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan parallelism (optimization guide §2: derive
+    partitioning from input size, never a constant tuned for one mode).
+
+    A parquet input smaller than one scan split
+    (``spark.sql.files.maxPartitionBytes``) arrives as a SINGLE task —
+    parquet cannot split inside a row group — so every narrow operator
+    downstream of the scan runs on one core no matter how many the
+    session has. Measured at sf0.1/local[32]: cdc_chunks 5.8s -> 0.6s,
+    the whole map side of the tokenize/hash pipelines was serialized on
+    one task. For such sub-split inputs, spread rows round-robin across
+    the default parallelism (deterministic under
+    ``spark.sql.execution.sortBeforeRepartition``, on by default; all
+    declared queries are partition-layout-insensitive — their
+    aggregations are keyed and their collect_lists array_sort-wrapped).
+
+    Inputs of at least one split (the 100 TB case: many files / many
+    row groups, where the scan parallelizes by itself and an extra
+    full shuffle would be pure waste) pass through untouched, as does a
+    single-core session.
+
+    Only applied to tables on the SPREAD_TABLES allowlist: a table is
+    eligible ONLY when every operator over it is accumulation-order
+    insensitive. documents/embeddings qualify (integer/milli
+    arithmetic, per-row folds, array_sort-wrapped collect_lists);
+    events does NOT — its windowed/sessionized rollups sum the DOUBLE
+    ``value`` column, and IEEE summation order changes with partition
+    layout (observed: 9 windows flipping a floor() boundary under a
+    32-way spread). events queries are aggregation-first anyway (the
+    scan feeds an immediate keyed shuffle), so scan parallelism was
+    never their bottleneck."""
+    para = spark.sparkContext.defaultParallelism
+    if para <= 1:
+        return df
+    size = _input_bytes(path)
+    if size <= 0:
+        return df
+    try:
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except Exception:
+        max_split = 134217728
+    if size >= max_split:
+        return df
+    return df.repartition(para)
+
+
+# tables verified accumulation-order insensitive end-to-end (see
+# spread_small_scan docstring; the oracle sweep is the enforcement)
+SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name in SPREAD_TABLES:
+        return spread_small_scan(spark, df, path)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
