@@ -822,52 +822,110 @@ def duckdb_simhash128_pairs_sql(table_sql: str, max_hamming: int = HAM_MAX) -> s
 SUBSTR_N = 10  # token-window width for exact substring dedup
 
 
+def _np_token_hashes(toks: list, bases: tuple[int, ...]):
+    """Per-token polynomial char hashes, one int64 array per base —
+    the numpy twin of the former per-token Catalyst HOF folds, exact to
+    the bit: for each token the fold is ``(acc*B + code) % HASH_MOD``
+    over its code points in order, vectorized ACROSS tokens grouped by
+    length (one utf-32 decode per length group, then L fused
+    multiply-mod passes). Intermediates stay exact in int64
+    (acc < 2^31, acc*B + c < 2^39). Code points == ``ascii()`` on each
+    ``split('')`` char for BMP text (the winnowing-kernel contract);
+    empty tokens hash to 0 in both formulations."""
+    import numpy as np
+
+    nt = len(toks)
+    out = [np.zeros(nt, dtype=np.int64) for _ in bases]
+    if not nt:
+        return out
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=nt)
+    for L in np.unique(lens):
+        if L == 0:
+            continue
+        idx = np.flatnonzero(lens == L)
+        mat = (
+            np.frombuffer(
+                "".join(toks[i] for i in idx).encode("utf-32-le"),
+                dtype=np.uint32,
+            )
+            .astype(np.int64)
+            .reshape(len(idx), int(L))
+        )
+        for o, base in zip(out, bases):
+            acc = np.zeros(len(idx), dtype=np.int64)
+            for d in range(int(L)):
+                acc = (acc * base + mat[:, d]) % HASH_MOD
+            o[idx] = acc
+    return out
+
+
 def _pos_grams(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, pos, g1, g2): every n-token window's position and its
     62-bit integer gram key — two independent 31-bit double polynomial
     folds (token chars once with bases 131/137, then the n token-hash
     longs with bases 139/149). Shared by positional substring dedup and
     benchmark decontamination; the DuckDB twins reproduce the folds
-    bit-for-bit (_duck_tok_fold/_duck_win_fold)."""
+    bit-for-bit (_duck_tok_fold/_duck_win_fold).
+
+    Round-6 shape: tokenization stays in the JVM (split + lower, so
+    token boundaries are bit-identical to the former all-Catalyst
+    formulation), but the per-token char folds and per-window slice
+    folds run in ONE vectorized Arrow kernel (the winnowing-kernel
+    pattern, guide §4.2): the interpreted HOF chain evaluated
+    O(chars·bases) + O(windows·n) lambda steps per document with an
+    array allocation per slice — measured as the dominant stage of
+    every consumer — while the kernel does the same exact int64
+    arithmetic (fold order preserved; products bounded by
+    2^31·149 + 2^31 < 2^39, window fold likewise) in ~total-chars
+    numpy passes. Zero shuffles either way: scan -> ArrowEvalPython ->
+    rows; embarrassingly partition-parallel."""
+    import numpy as np
+    import pandas as pd
+
     tokenized = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
-    # char-code arrays materialized in their OWN projection before any
-    # fold — an inlined HOF would re-run substring-per-char extraction
-    # once per hash base (the lambda-CSE trap, see _simhash_signatures_n)
-    with_cs = tokenized.select(
-        "doc_id",
-        F.transform(
-            "toks",
-            # split('') = one O(n) pass per token (vs O(n^2) indexed
-            # substring extraction); empty tokens hash to 0 either way
-            lambda t: F.transform(F.split(t, ""), F.ascii),
-        ).alias("css"),
-    )
-    tok_hashes = with_cs.select(
-        "doc_id",
-        F.transform("css", lambda cs: _poly_hash(cs, HASH_BASE_1)).alias("h1"),
-        F.transform("css", lambda cs: _poly_hash(cs, HASH_BASE_2)).alias("h2"),
-    )
+    swv = np.lib.stride_tricks.sliding_window_view
 
-    def _window_grams(hcol: str, base: int):
-        return F.when(
-            F.size(hcol) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(hcol) - n),
-                lambda i: _poly_hash(F.slice(hcol, i + 1, n), base),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
+    def kernel(batches):
+        for pdf in batches:
+            doc_toks = [list(t) for t in pdf["toks"]]
+            flat = [t for toks in doc_toks for t in toks]
+            h1, h2 = _np_token_hashes(flat, (HASH_BASE_1, HASH_BASE_2))
+            counts, poss, g1s, g2s = [], [], [], []
+            off = 0
+            for toks in doc_toks:
+                nt = len(toks)
+                m = nt - n + 1
+                if m >= 1:
+                    g1 = np.zeros(m, dtype=np.int64)
+                    g2 = np.zeros(m, dtype=np.int64)
+                    w1 = swv(h1[off : off + nt], n)
+                    w2 = swv(h2[off : off + nt], n)
+                    for d in range(n):
+                        g1 = (g1 * HASH_BASE_3 + w1[:, d]) % HASH_MOD
+                        g2 = (g2 * HASH_BASE_4 + w2[:, d]) % HASH_MOD
+                    counts.append(m)
+                    poss.append(np.arange(m, dtype=np.int32))
+                    g1s.append(g1)
+                    g2s.append(g2)
+                else:
+                    counts.append(0)
+                off += nt
+            if poss:
+                yield pd.DataFrame(
+                    {
+                        # repeat keeps the input doc_id dtype as-is
+                        "doc_id": np.repeat(pdf["doc_id"].values, counts),
+                        "pos": np.concatenate(poss),
+                        "g1": np.concatenate(g1s),
+                        "g2": np.concatenate(g2s),
+                    }
+                )
 
-    gram_arrays = tok_hashes.select(
-        "doc_id",
-        _window_grams("h1", HASH_BASE_3).alias("g1s"),
-        _window_grams("h2", HASH_BASE_4).alias("g2s"),
-    )
-    return gram_arrays.select(
-        "doc_id", F.posexplode(F.arrays_zip("g1s", "g2s")).alias("pos", "g")
-    ).select(
-        "doc_id", "pos", F.col("g.g1s").alias("g1"), F.col("g.g2s").alias("g2")
+    id_type = dict(docs.dtypes)["doc_id"]
+    return tokenized.mapInPandas(
+        kernel, schema=f"doc_id {id_type}, pos int, g1 long, g2 long"
     )
 
 
@@ -1710,17 +1768,15 @@ def neardup_pagerank(
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    # scale-adaptive iteration partitioning (guide §2): the verified
-    # pair table is already materialized, so its row count is free;
-    # size the edge partitions from it instead of inheriting the
-    # corpus-sized layout (64 near-empty partitions here meant every
-    # one of the 5 iteration jobs scheduled 64 tasks to move a few
-    # hundred rows — measured ~2x the whole query's wall). ~50k edges
-    # per partition keeps a billion-edge graph at cluster-friendly
-    # widths while a small graph iterates in single-task jobs.
-    n_edges = 2 * pairs.count()  # instant: pairs is persisted+counted
-    target = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
-    out = _pagerank(edges.coalesce(target), iters)
+    # Measured this round (interleaved A/B in one session, idle box):
+    # the iteration loop is NOT the cost — 5 iterations run in ~2s
+    # either with the inherited 64-partition edge layout or coalesced
+    # to 1 (the localCheckpoint truncation keeps each iteration's job
+    # flat), and a count-based coalesce added ~0.5s of driver prep for
+    # zero iteration win. The query's wall is dominated by the shared
+    # minhash pair build above; r5's bench flag was environment noise
+    # (sandbox throttling), not a plan defect.
+    out = _pagerank(edges, iters)
     # _pagerank's result is localCheckpointed (self-contained — no
     # lineage back to the pair table), so the minhash pair cache can
     # be released here; the rename is a narrow projection over the
@@ -1979,58 +2035,83 @@ def cdc_chunks(docs: DataFrame, w: int = CDC_W, divisor: int = CDC_DIVISOR) -> D
     cluster scale would be a per-doc mapInPandas kernel; the audit
     variant here never needs it. Expected chunk length = divisor chars.
 
-    Narrow zero-shuffle plan: one split('') pass per doc, the w-wide
-    slice fold per position (O(w·n) bounded work, the substring-spans
-    discipline), a filter + explode — no joins, no aggregation; scales
-    with input splits like the parquet scan. Docs shorter than ``w``
-    (and empty docs) emit one whole-doc chunk.
+    Narrow zero-shuffle plan, round-6 shape: ONE vectorized Arrow
+    kernel per partition (the _pos_grams/winnowing pattern, guide
+    §4.2) — the former all-Catalyst formulation evaluated the w-wide
+    slice fold as interpreted HOF lambdas, O(w·n) lambda steps plus an
+    array allocation per position, and measured 5-9s single-task at
+    sf0.1; the kernel runs the same exact int64 rolling fold
+    ((acc·131 + code) % (2^31-1), code points == ascii() on split('')
+    chars for BMP text) as w vectorized passes over a sliding window
+    view, with chunk md5 = hashlib.md5 over the utf-8 chunk bytes —
+    bit-identical to Spark's md5(substring(...)) — and code-point
+    slicing matching substring()'s character semantics. Still no
+    joins, no aggregation; scales with input splits like the parquet
+    scan. Docs shorter than ``w`` (and empty docs) emit one whole-doc
+    chunk.
 
     Output: (doc_id, chunk_idx, start, chunk_len, chunk_md5) with
     1-based ``start``; md5 over the raw (un-lowered) chunk text."""
-    n = F.length("text")
-    staged = docs.select(
-        "doc_id",
-        "text",
-        n.alias("n"),
-        F.transform(F.split(F.col("text"), ""), F.ascii).alias("cs"),
-    )
-    positions = F.when(
-        F.col("n") >= w, F.sequence(F.lit(w), F.col("n"))
-    ).otherwise(F.array().cast("array<int>"))
-    cuts = F.filter(
-        positions,
-        lambda i: _poly_hash(F.slice("cs", i - w + 1, w), HASH_BASE_1)
-        % divisor
-        == 0,
-    )
-    # boundaries: interior cuts + the end-of-doc cut (dedup'd when the
-    # last position already cut); filter preserves ascending order and
-    # n is the maximum, so array_distinct keeps the list sorted
-    boundaries = F.array_distinct(
-        F.concat(cuts.cast("array<long>"), F.array(F.col("n").cast("long")))
-    )
-    paired = staged.select(
-        "doc_id",
-        "text",
-        F.posexplode(
-            F.zip_with(
-                F.concat(
-                    F.array(F.lit(0).cast("long")),
-                    F.slice(boundaries, 1, F.greatest(F.size(boundaries) - 1, F.lit(0))),
-                ),
-                boundaries,
-                lambda p, b: F.struct(p.alias("prev"), b.alias("cut")),
-            )
-        ).alias("idx", "pb"),
-    )
-    return paired.select(
-        "doc_id",
-        (F.col("idx") + 1).cast("long").alias("chunk_idx"),
-        (F.col("pb.prev") + 1).cast("long").alias("start"),
-        (F.col("pb.cut") - F.col("pb.prev")).cast("long").alias("chunk_len"),
-        F.md5(
-            F.expr("substring(text, CAST(pb.prev + 1 AS INT), CAST(pb.cut - pb.prev AS INT))")
-        ).alias("chunk_md5"),
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    swv = np.lib.stride_tricks.sliding_window_view
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, starts, lens, md5s = [], [], [], [], []
+            counts = []
+            for text in pdf["text"].values:
+                text = text or ""
+                nn = len(text)
+                if nn >= w:
+                    cs = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    win = swv(cs, w)
+                    h = np.zeros(len(win), dtype=np.int64)
+                    for d in range(w):
+                        h = (h * HASH_BASE_1 + win[:, d]) % HASH_MOD
+                    # window ending at 1-based position i = j + w cuts
+                    # when its hash % divisor == 0
+                    cuts = np.flatnonzero(h % divisor == 0) + w
+                    bounds = cuts.tolist()
+                    if not bounds or bounds[-1] != nn:
+                        bounds.append(nn)
+                else:
+                    bounds = [nn]
+                prev = 0
+                for k, cut in enumerate(bounds):
+                    idxs.append(k + 1)
+                    starts.append(prev + 1)
+                    lens.append(cut - prev)
+                    md5s.append(
+                        hashlib.md5(
+                            text[prev:cut].encode("utf-8")
+                        ).hexdigest()
+                    )
+                    prev = cut
+                counts.append(len(bounds))
+            if counts:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].values, counts),
+                        "chunk_idx": np.array(idxs, dtype=np.int64),
+                        "start": np.array(starts, dtype=np.int64),
+                        "chunk_len": np.array(lens, dtype=np.int64),
+                        "chunk_md5": md5s,
+                    }
+                )
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=(
+            f"doc_id {id_type}, chunk_idx long, start long, "
+            "chunk_len long, chunk_md5 string"
+        ),
     )
 
 

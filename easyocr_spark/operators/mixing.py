@@ -134,32 +134,49 @@ def dsir_importance(
         F.col("source").isin(*target_sources).cast("int").alias("is_target"),
         F.split(F.lower("text"), r"\s+").alias("toks"),
     )
-    # char-code arrays materialized in their OWN projection before the
-    # fold (the lambda-CSE trap: an inlined HOF re-runs the per-char
-    # extraction once per downstream reference)
-    with_cs = toks.select(
-        "doc_id",
-        "is_target",
-        F.transform(
-            "toks", lambda t: F.transform(F.split(t, ""), F.ascii)
-        ).alias("css"),
-    )
-    hashed = with_cs.select(
-        "doc_id",
-        "is_target",
-        F.transform("css", lambda cs: _poly_hash(cs, HASH_BASE_1)).alias("h1"),
-    )
-    uni = F.transform("h1", lambda x: x % m)
-    bi = F.when(
-        F.size("h1") >= 2,
-        F.zip_with(
-            F.slice("h1", 1, F.size("h1") - 1),
-            F.slice("h1", 2, F.size("h1") - 1),
-            lambda a, b: ((a * HASH_BASE_3 + b) % HASH_MOD) % m,
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    feats = hashed.select(
-        "doc_id", "is_target", F.explode(F.concat(uni, bi)).alias("b")
+
+    # Round-6 shape (the _pos_grams precedent, guide §4.2): JVM keeps
+    # tokenization (identical token boundaries), ONE vectorized Arrow
+    # kernel replaces the interpreted per-char/per-token HOF chain —
+    # same exact int64 fold arithmetic (token hash (acc*131+c) % MOD in
+    # char order; bigram (h_a*139 + h_b) % MOD, both % m), emitted
+    # directly as (doc_id, is_target, b) feature rows.
+    import numpy as np
+    import pandas as pd
+
+    from easyocr_spark.operators.dedup import _np_token_hashes
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_toks = [list(t) for t in pdf["toks"]]
+            flat = [t for toks in doc_toks for t in toks]
+            (h1,) = _np_token_hashes(flat, (HASH_BASE_1,))
+            counts, feats_out = [], []
+            off = 0
+            for toks in doc_toks:
+                nt = len(toks)
+                h = h1[off : off + nt]
+                uni = h % m
+                bi = ((h[:-1] * HASH_BASE_3 + h[1:]) % HASH_MOD) % m
+                feats_out.append(np.concatenate([uni, bi]))
+                counts.append(nt + max(nt - 1, 0))
+                off += nt
+            if counts:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].values, counts),
+                        "is_target": np.repeat(
+                            pdf["is_target"].values, counts
+                        ),
+                        "b": np.concatenate(feats_out)
+                        if feats_out
+                        else np.array([], dtype=np.int64),
+                    }
+                )
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    feats = toks.mapInPandas(
+        kernel, schema=f"doc_id {id_type}, is_target int, b long"
     )
     # tf feeds BOTH the bounded model collect and the scoring join;
     # persist so the explode+shuffle runs once (owned cache, released

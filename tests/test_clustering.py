@@ -288,3 +288,40 @@ def test_kmeans_inertia_engine_parity(spark):
     )
     for col in ["cluster", "n_members", "inertia", "mean_inertia"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+def test_assign_matches_reference_at_large_k(spark):
+    """Focused internals test for the round-6 assignment rewrite (one
+    SQL-parsed nested HOF over a k x DIM literal instead of k unrolled
+    fold columns): at k=64 — the regime the old shape's codegen blew up
+    in — every (cluster, dist2) must equal a straightforward Python
+    reference using the same exact int64 arithmetic and the
+    first-minimum (smallest cluster id) tie-break."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    vecs = {
+        i: rng.uniform(-2, 2, size=DIM).astype(np.float32)
+        for i in range(200)
+    }
+    mdf = _emb_df(spark, vecs).select(
+        "vec_id", cl._micros(F.col("embedding")).alias("m")
+    )
+    micros = {
+        r["vec_id"]: list(r["m"]) for r in mdf.collect()
+    }
+    cents = [micros[i] for i in range(64)]
+    out = (
+        cl._assign(mdf, cents)
+        .select("vec_id", "cluster", "dist2")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    for vid, m in micros.items():
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(m, c)) for c in cents
+        ]
+        best = min(dists)
+        want = dists.index(best)  # first minimum = smallest cluster id
+        assert out.loc[vid, "cluster"] == want, vid
+        assert out.loc[vid, "dist2"] == best, vid

@@ -420,3 +420,55 @@ def test_max_token_run_exact_and_parity(spark):
     got = out.reset_index().sort_values("doc_id").reset_index(drop=True)
     for col in ["doc_id", "n_tokens", "max_run"]:
         assert list(got[col]) == list(exp[col]), col
+
+
+def test_max_token_run_crafted_collision(spark):
+    """The detector's documented false-positive mode, pinned: two
+    DISTINCT adjacent tokens whose 31-bit poly hashes collide splice
+    into one run (the packed accumulator carries the hash, not the
+    token — see the operator docstring's collision bound). Both engines
+    share the rule, so parity holds on the crafted pair too."""
+    import duckdb
+
+    # h("\x01\xc8") = 1*131 + 200 = h("\x02E") = 2*131 + 69 = 331,
+    # well under FP_MOD, and the tokens differ.
+    t1, t2 = "\x01\xc8", "\x02E"
+    assert t1 != t2
+
+    def py_hash(t):
+        acc = 0
+        for c in t:
+            acc = (acc * ta.FP_BASE + ord(c)) % ta.FP_MOD
+        return acc
+
+    assert py_hash(t1) == py_hash(t2)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                f"{t1} {t2} {t1}",   # 3 distinct-ish tokens, one hash
+                f"{t1} x {t1}",      # control: broken by a real token
+            ],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [0] * 2,
+        }
+    )
+    out = (
+        ta.max_token_run(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # the collision inflates doc 1 to a 3-run of hash-equal tokens
+    assert out.loc[1, "max_run"] == 3
+    assert out.loc[2, "max_run"] == 1
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(ta.duckdb_max_token_run_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = out.reset_index().sort_values("doc_id").reset_index(drop=True)
+    assert (exp["max_run"].astype(int) == got["max_run"].astype(int)).all()
