@@ -100,23 +100,53 @@ def duckdb_exact_sql(table_sql: str) -> str:
 def shingle_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams of lower(text).
 
-    The token array is materialized in its own projection first:
-    expressions referenced inside a higher-order-function lambda are
-    re-evaluated per element (no CSE across the lambda boundary), so
-    inlining split() here costs O(n_tokens) split calls per row — a
-    measured 50x slowdown at sf0.1."""
+    Round-6 shape (the _pos_grams kernel precedent, guide §4.2):
+    tokenization stays JVM-side (split + lower — identical token
+    boundaries), and ONE vectorized Arrow kernel builds each document's
+    DISTINCT shingle set (``" ".join`` == the former
+    ``concat_ws(' ', slice(...))`` byte-for-byte; first-occurrence
+    order via dict so output is deterministic). A document's shingles
+    live in one partition, so the per-doc set REPLACES the former
+    global ``.distinct()`` — the explode + distinct shuffled one row
+    per shingle OCCURRENCE; now nothing per-occurrence crosses a stage
+    boundary and the (doc_id, shingle) rows emerge already distinct.
+    Downstream consumers (min-agg signatures, Jaccard groupBys, band
+    joins) are set-semantic, so row order is immaterial."""
+    import numpy as np
+    import pandas as pd
+
     tokenized = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
-    toks = F.col("toks")
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return tokenized.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+
+    def kernel(batches):
+        for pdf in batches:
+            shs, counts = [], []
+            for toks in pdf["toks"]:
+                toks = list(toks)
+                m = len(toks) - n + 1
+                if m >= 1:
+                    uniq = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n]) for i in range(m)
+                        )
+                    )
+                    shs.extend(uniq)
+                    counts.append(len(uniq))
+                else:
+                    counts.append(0)
+            if shs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].values, counts),
+                        "shingle": shs,
+                    }
+                )
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    return tokenized.mapInPandas(
+        kernel, schema=f"doc_id {id_type}, shingle string"
+    )
 
 
 DUCKDB_SHINGLES = """
@@ -539,14 +569,45 @@ def _simhash_signatures_n(
     scan (measured ~1.4x on the 124-bit signature stage at sf0.1).
     Returns (sig, deps) where deps are the persisted intermediates the
     CALLER must unpersist after materializing sig."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
-    )
     # (doc, token) term frequencies first: the per-bit aggregation then
     # runs over doc x distinct-token rows instead of the raw token
     # stream (sum over occurrences == sum of cnt * (+-1) per token),
-    # and bits extract with integer shiftright — both exact
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    # and bits extract with integer shiftright — both exact.
+    # Round-6 shape (the shingle_sets kernel precedent): tokenization
+    # stays JVM-side; the tf fold runs per doc inside one Arrow kernel
+    # (a doc's tokens live in one partition), so the former
+    # one-row-per-OCCURRENCE explode + groupBy shuffle disappears —
+    # the tf rows emerge already folded.
+    import numpy as np
+    import pandas as pd
+
+    tokenized = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+
+    def tf_kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out_tok, out_cnt, counts = [], [], []
+            for toks in pdf["toks"]:
+                c = Counter(list(toks))
+                out_tok.extend(c.keys())
+                out_cnt.extend(c.values())
+                counts.append(len(c))
+            if out_tok:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].values, counts),
+                        "token": out_tok,
+                        "cnt": np.array(out_cnt, dtype=np.int64),
+                    }
+                )
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    tf = tokenized.mapInPandas(
+        tf_kernel, schema=f"doc_id {id_type}, token string, cnt long"
+    )
     deps: list[DataFrame] = []
     if persist_tf:
         from pyspark import StorageLevel

@@ -750,39 +750,60 @@ def lm_cross_entropy(docs: DataFrame) -> DataFrame:
     with at least one bigram."""
     import math
 
-    # char-code array staged in its own projection, bigrams by zipping
-    # the array with itself shifted one — O(n) total, where per-position
-    # lt.substr(i, 2) is O(n^2) (UTF8String rescans per index). The
-    # bigram KEY is the packed integer pair c1·2^21 + c2 (code points
-    # < 2^21, so the packing is a BIJECTION onto the 2-char strings the
-    # former shape concatenated): identical groups, identical counts,
-    # identical output — but the shuffle carries one long per bigram
-    # instead of an allocated 2-char string (guide §2.3, narrower
-    # shuffle keys), measured ~15% off this query's wall at sf0.1.
-    # <2-char docs yield the same empty array.
-    low = docs.select(
-        "doc_id",
-        F.transform(F.split(F.lower("text"), ""), F.ascii).alias("cs"),
-    )
-    bigrams_arr = F.when(
-        F.size("cs") >= 2,
-        F.zip_with(
-            F.slice("cs", 1, F.size("cs") - 1),
-            F.slice("cs", 2, F.size("cs") - 1),
-            lambda a, b: a.cast("long") * F.lit(1 << 21) + b,
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # Round-6 shape (the _pos_grams kernel precedent, guide §4.2 +
+    # §2.3): the (doc, bigram, cnt) tf table is computed INSIDE one
+    # vectorized Arrow kernel — lowercasing stays JVM-side (identical
+    # case folding), the kernel reads code points (== ascii() on
+    # split('') chars for BMP text, the winnowing contract), packs each
+    # bigram as the integer c1·2^21 + c2 (a BIJECTION onto the 2-char
+    # strings the original shape concatenated: identical groups,
+    # counts, output) and folds per-doc counts with np.unique. A
+    # document's bigrams live in one partition, so the kernel output
+    # IS the tf table — the former explode + groupBy shuffled one row
+    # per bigram OCCURRENCE (~6x the tf rows on this corpus) plus a
+    # string allocation per bigram; now nothing per-occurrence ever
+    # crosses a stage boundary. <2-char docs contribute no rows either
+    # way.
+    import numpy as np
+    import pandas as pd
+
+    low = docs.select("doc_id", F.lower("text").alias("lt"))
+
+    def tf_kernel(batches):
+        for pdf in batches:
+            ids, bgs, cnts = [], [], []
+            counts = []
+            for lt in pdf["lt"].values:
+                lt = lt or ""
+                if len(lt) < 2:
+                    counts.append(0)
+                    continue
+                cs = np.frombuffer(
+                    lt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                packed = cs[:-1] * (1 << 21) + cs[1:]
+                u, c = np.unique(packed, return_counts=True)
+                bgs.append(u)
+                cnts.append(c)
+                counts.append(len(u))
+            if bgs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].values, counts),
+                        "bg": np.concatenate(bgs),
+                        "cnt": np.concatenate(cnts),
+                    }
+                )
+
     from pyspark import StorageLevel
 
     # the tf table feeds BOTH the train collect and the scoring join;
-    # persist it so the explode+fold runs once (owned cache: released
+    # persist it so the kernel pass runs once (owned cache: released
     # after the scored result materializes, minhash-pipeline pattern)
-    tf = (
-        low.select("doc_id", F.explode(bigrams_arr).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    id_type = dict(docs.dtypes)["doc_id"]
+    tf = low.mapInPandas(
+        tf_kernel, schema=f"doc_id {id_type}, bg long, cnt long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         int(r["bg"]): int(r["n"])
         for r in tf.groupBy("bg").agg(F.sum("cnt").alias("n")).collect()

@@ -97,7 +97,15 @@ def spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFram
         max_split = 134217728
     if size >= max_split:
         return df
-    return df.repartition(para)
+    # width = a quarter of the cores (min 2): measured at sf0.1 against
+    # full-width and no-spread — full-width (32) taxed every
+    # cheap shuffle-first query ~0.15-0.4s of pure stage-scheduling
+    # overhead, while 8 matched or beat the unspread baseline on those
+    # AND kept the heavy narrow kernels within a few % of full-width
+    # (cdc 0.33s@8 vs 0.35s@32 vs 0.69s@1; corpus_mix 0.31s@8 vs
+    # 0.62s@32 vs 0.48s@1). CPU-dense post-shuffle stages regain full
+    # width from AQE (minPartitionSize floor, session.py).
+    return df.repartition(max(2, para // 4))
 
 
 # tables verified accumulation-order insensitive end-to-end (see
