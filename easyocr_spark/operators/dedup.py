@@ -1763,15 +1763,20 @@ def _pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     one map-side-combining groupBy dst. The degree table joins
     AQE-sized (node-count rows).
 
-    Lineage discipline: every iteration's table is eagerly
-    ``localCheckpoint``ed, NOT merely persisted. A persist caches data
-    but keeps the full LOGICAL plan, so iteration k's plan embeds the
-    (large) upstream MinHash lineage ~3^k times and Catalyst analysis
-    time explodes — measured ~6s/iteration and super-linear growth on
-    a 181-node graph before truncation, sub-second after. This is the
-    classic iterative-DataFrame trap; localCheckpoint replaces the
-    plan with the materialized partitions (LogicalRDD). On a real
-    cluster, reliable ``checkpoint()`` to the cluster store is the
+    Lineage discipline, re-measured this round: the BASES — edges, the
+    degree table, the init ranks — are eagerly ``localCheckpoint``ed
+    (a persist caches data but keeps the full LOGICAL plan, so every
+    iteration would re-embed the large upstream MinHash lineage ~3
+    times per level = ~3^k growth; that was the r4-measured
+    ~6s/iteration blowup). With the bases truncated, the rank chain's
+    plan grows LINEARLY in k, so the per-iteration checkpoints the r5
+    code added on top were pure overhead — 5 extra eager jobs, ~0.7s
+    of the query's wall at sf0.1 (A/B'd in one session, identical
+    checksums) — and the 5 chained shuffles now execute as ONE job at
+    action time, the standard Pregel-free shape. A ranks checkpoint
+    every 8th iteration keeps Catalyst analysis O(k) for deep custom
+    ``iters`` (the default 5 never triggers it). On a real cluster,
+    reliable ``checkpoint()`` to the cluster store is the
     fault-tolerant variant (localCheckpoint dies with an executor);
     same plan shape either way."""
     edges = edges.localCheckpoint(eager=True)
@@ -1783,7 +1788,7 @@ def _pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         F.lit(PR_UNIT_MICRO).cast("long").alias("r"),
     ).localCheckpoint(eager=True)
     base = (1000 - PR_DAMP_MILLI) * PR_UNIT_MICRO // 1000  # 150000
-    for _ in range(iters):
+    for i in range(iters):
         ranks = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -1797,8 +1802,9 @@ def _pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                     + F.expr(f"({PR_DAMP_MILLI} * s) div 1000")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -1838,10 +1844,10 @@ def neardup_pagerank(
     # minhash pair build above; r5's bench flag was environment noise
     # (sandbox throttling), not a plan defect.
     out = _pagerank(edges, iters)
-    # _pagerank's result is localCheckpointed (self-contained — no
-    # lineage back to the pair table), so the minhash pair cache can
-    # be released here; the rename is a narrow projection over the
-    # checkpointed partitions.
+    # _pagerank checkpointed the EDGE table eagerly (self-contained —
+    # no lineage back to the pair table), so the minhash pair cache can
+    # be released here; the iteration chain above it is lazy and
+    # executes as one job at action time.
     pairs.unpersist()
     return out.select(
         F.col("node").alias("doc_id"), F.col("r").alias("rank_micro")

@@ -221,11 +221,13 @@ JVM scales 4->16 workers at 0.92 efficiency). On a real N vs 4N
 EXECUTOR cluster every executor gets its own cores, which the 2->8
 pair models correctly.
 
-Spark confs: AQE on (coalesce + skew join), shuffle.partitions = cores,
-spark.python.worker.reuse=false (measured: reused workers stall on the
-2nd heavy UDF stage, 34s -> 81s with 72% idle CPU; fresh workers pay
-~0.3 core-s import tax per task, <1s/stage at these partition counts —
-see easyocr_spark/session.py), Arrow batches capped at 256 rows, OMP/BLAS pinned to 1
+Spark confs: AQE on (coalesce + skew join, 64k coalescing floor for
+CPU-dense post-shuffle stages), shuffle.partitions = cores,
+spark.python.worker.reuse=true (re-measured round 6 on Spark 4.1: four
+repeated flagship runs 3.6/3.6/3.2/3.2s reused vs 6.4/5.1/4.5/4.5s
+fresh, no re-run stall — the r2-era stall does not reproduce; reused
+workers keep imports and the reader singleton, see
+easyocr_spark/session.py), Arrow batches capped at 256 rows, OMP/BLAS pinned to 1
 thread per worker, UTC session tz (easyocr_spark/session.py).
 
 Evidence produced by tools/scaling_bench.py as the sandbox stand-in for
