@@ -629,19 +629,25 @@ def _simhash_signatures_n(
     # shuffled equi-join on the token, still beating per-occurrence
     # hashing (shuffle-path parity is pytest-enforced under
     # autoBroadcastJoinThreshold=-1, tests/test_dedup_similarity.py).
-    # split('') is one O(n) pass per token; the indexed
-    # substring-per-char extraction is O(n^2) (UTF8String.substring
-    # rescans from the start per index) — same codes, same hashes
-    with_chars = tf.select("token").distinct().select(
-        "token",
-        F.transform(F.split("token", ""), F.ascii).alias("cs"),
-    )
-    tok_hashes = with_chars.select(
-        "token",
-        *[
-            _poly_hash(F.col("cs"), base).alias(f"t{h}")
-            for h, base in enumerate(bases, start=1)
-        ],
+    # The K polynomial folds over the dictionary run in the shared
+    # vectorized kernel (_np_token_hashes — same exact int64 fold, code
+    # points == ascii() on split('') chars for BMP text), replacing the
+    # per-char interpreted HOF chain.
+    def dict_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = list(pdf["token"].values)
+            hs = _np_token_hashes(toks, tuple(bases))
+            out = {"token": toks}
+            for h, arr in enumerate(hs, start=1):
+                out[f"t{h}"] = arr
+            yield pd.DataFrame(out)
+
+    tok_hashes = tf.select("token").distinct().mapInPandas(
+        dict_kernel,
+        schema="token string, "
+        + ", ".join(f"t{h} long" for h in range(1, len(bases) + 1)),
     )
     hashed = tf.join(tok_hashes, "token").drop("token")
     # the 31*K bit-sum aggregates and the K bit-reassembly columns are

@@ -190,17 +190,66 @@ def lsh_bucket(emb: Column) -> Column:
     return sum(bits, F.lit(0)).cast("long")
 
 
+def _with_bucket_n2(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, embedding, bucket, n2) via ONE vectorized Arrow kernel
+    — the ivf_topk assign-kernel pattern: the former per-row Catalyst
+    formulation evaluated 16 interpreted plane folds + the norm fold
+    per reference (and each consumer branch re-evaluated them), at
+    O(N_PLANES·DIM) lambda steps per row. The kernel accumulates
+    SEQUENTIALLY OVER DIMS and vectorized across rows, so every
+    per-row accumulator performs the identical IEEE double adds in the
+    identical order as the ``_plane_dot`` / ``_norm2`` left folds —
+    bucket and n2 are bit-identical to the HOF columns. The weight
+    formula keeps the fixed DIM=64 indexing of the oracle
+    (w[j,d] = ((j·64 + d)·PLANE_MULT) % 1000 − 500) while ranging d
+    over the actual array length, exactly like the HOF; empty arrays
+    yield plane dots of 0.0 (bucket = full mask of >=0 bits) as the
+    ``when(size > 0)`` guard does."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrow, dim = emb.shape if emb.ndim == 2 else (len(pdf), 0)
+            acc = np.zeros((nrow, N_PLANES))
+            n2 = np.zeros(nrow)
+            for d in range(dim):
+                w = np.array(
+                    [
+                        ((j * DIM + d) * PLANE_MULT) % 1000 - 500
+                        for j in range(N_PLANES)
+                    ],
+                    dtype=np.float64,
+                )
+                acc += w[None, :] * emb[:, d : d + 1]
+                n2 += emb[:, d] * emb[:, d]
+            bucket = ((acc >= 0.0) * (1 << np.arange(N_PLANES))).sum(
+                axis=1
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "bucket": bucket,
+                    "n2": n2,
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel,
+        schema="vec_id long, embedding array<float>, bucket long, n2 double",
+    )
+
+
 def lsh_topk(embeddings: DataFrame, k: int = K) -> DataFrame:
     """ANN via hyperplane-LSH bucketing: candidates share the query's
     bucket; exact cosine rank within. Deterministic arithmetic ->
     exactly reproducible in the oracle (it's approximate vs brute
     force, but exact vs its own contract)."""
-    with_bucket = embeddings.select(
-        "vec_id",
-        "embedding",
-        lsh_bucket(F.col("embedding")).alias("bucket"),
-        _norm2(F.col("embedding")).alias("n2"),
-    )
+    with_bucket = _with_bucket_n2(embeddings)
     queries = with_bucket.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -476,9 +525,7 @@ def neardup_pairs(embeddings: DataFrame, micro: int = NEARDUP_MICRO) -> DataFram
     >= micro/1e6 AND bucket-signature hamming <= 1 over the 16
     deterministic hyperplanes. Above-threshold pairs whose signatures
     differ in >= 2 planes are outside the contract by design."""
-    with_bucket = embeddings.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
-    )
+    with_bucket = _with_bucket_n2(embeddings)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
@@ -486,13 +533,13 @@ def neardup_pairs(embeddings: DataFrame, micro: int = NEARDUP_MICRO) -> DataFram
     a = with_bucket.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
-        _norm2(F.col("embedding")).alias("na"),
+        F.col("n2").alias("na"),
         F.explode(probes).alias("bucket"),
     )
     b = with_bucket.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
-        _norm2(F.col("embedding")).alias("nb"),
+        F.col("n2").alias("nb"),
         "bucket",
     )
     return (
