@@ -224,11 +224,39 @@ def bloom_membership(
     occur, proving the sketch path produced the answer).
 
     Output: (doc_id, member_est, member_exact) with 0/1 ints."""
-    prefix = F.substring(F.lower("text"), 1, BLOOM_PREFIX)
-    staged = docs.select(
+    # prefix extraction, case folding and md5 stay JVM-side (identical
+    # semantics); the 256-char polynomial fold runs in the shared
+    # vectorized kernel (dedup._np_token_hashes — same exact int64 fold
+    # in char order, code points == ascii() on split('') chars for BMP
+    # text; empty prefixes hash to 0 as the length guard did). The
+    # former interpreted HOF evaluated ~1.3M lambda steps per pass over
+    # this corpus, twice (build collect + probe).
+    import pandas as pd
+
+    from easyocr_spark.operators.dedup import _np_token_hashes
+
+    pre = docs.select(
         "doc_id",
         F.md5(F.col("text")).alias("text_md5"),
-        _char_fold(prefix, BLOOM_BASE).alias("base"),
+        F.substring(F.lower("text"), 1, BLOOM_PREFIX).alias("prefix"),
+    )
+
+    def fold_kernel(batches):
+        for pdf in batches:
+            (h,) = _np_token_hashes(
+                list(pdf["prefix"].values), (BLOOM_BASE,)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_md5": pdf["text_md5"],
+                    "base": h,
+                }
+            )
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    staged = pre.mapInPandas(
+        fold_kernel, schema=f"doc_id {id_type}, text_md5 string, base long"
     )
     hashed = staged.select(
         "doc_id",
